@@ -1,0 +1,66 @@
+"""Tokenizer: split on every non-alphabetic character, drop empties,
+lowercase each token.
+
+Parity target: the reference tokenizer at
+/root/reference/textalyzer/src/frequency.rs:34-45 —
+``text.split(|c| !c.is_alphabetic()) .filter(nonempty) .to_lowercase()``.
+Note the reference splits FIRST and lowercases each token AFTER; we
+preserve that order (lowercasing can change a codepoint's alphabetic
+class, e.g. U+0130 'İ' → 'i' + combining dot).
+
+Two implementations:
+
+* ``tokens_col`` — pure JVM Catalyst expression (regexp split on the
+  Unicode alphabetic class). Whole-stage-codegen'd; the fast path for
+  the 100 TB pipeline and the DuckDB-oracle queries.
+* ``tokens_udf`` — Arrow-batched pandas UDF replicating the Rust
+  split-then-lowercase order exactly; the parity-safe path mandated by
+  BASELINE.json input_hint for the span pipeline. No per-row Python:
+  the regex runs via pandas vectorized .str ops per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+# Python re: [^\W\d_] == "word char that is not digit or underscore"
+# == Unicode letters (+ a few Other_Alphabetic marks), the practical
+# equivalent of Rust char::is_alphabetic for real-world text.
+_ALPHA_RUN = re.compile(r"[^\W\d_]+")
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Plain-Python reference implementation (used by tests/goldens)."""
+    return [t.lower() for t in _ALPHA_RUN.findall(text or "")]
+
+
+def tokens_col(text: Column | str) -> Column:
+    """JVM-side tokenizer: array<string> of lowercased alphabetic runs.
+
+    Uses Java's \\p{IsAlphabetic} class; stays inside whole-stage
+    codegen (no Python worker round-trip). Java and Rust Unicode
+    tables agree on all ASCII and all common scripts.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, r"[^\p{IsAlphabetic}]+")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    return F.transform(toks, F.lower)
+
+
+def tokenize_pandas(s: pd.Series) -> pd.Series:
+    """Batch tokenizer over a pandas Series (one Arrow batch)."""
+    return s.fillna("").str.findall(_ALPHA_RUN).map(
+        lambda toks: [t.lower() for t in toks]
+    )
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokens_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched pandas UDF tokenizer (Rust-parity path)."""
+    return tokenize_pandas(s)

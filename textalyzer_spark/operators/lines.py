@@ -1,0 +1,55 @@
+"""Document → line explosion (the reference's ``merge_file_lines``).
+
+Reference: /root/reference/textalyzer/src/file_utils.rs:11-55 —
+per file: split lines, 1-based numbering, trim, optional predicate on
+the trimmed content. Rust ``str::lines`` swallows a trailing "\\r"
+(CRLF) and does NOT emit a final empty line after a trailing "\\n";
+both quirks are reproduced here.
+
+Spark shape: ``posexplode(split(text, '\\n'))`` — a narrow
+transformation, no shuffle; line numbers are per-document so this
+parallelizes embarrassingly across documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_lines(text: Column | str) -> Column:
+    """array<string> of lines, Rust ``str::lines`` semantics."""
+    c = F.col(text) if isinstance(text, str) else text
+    # strip one trailing \n so split() doesn't emit a final "" element
+    c = F.regexp_replace(c, r"\n$", "")
+    arr = F.split(c, r"\n")
+    # str::lines treats \r\n as a terminator too: drop a trailing \r
+    arr = F.transform(arr, lambda l: F.regexp_replace(l, r"\r$", ""))
+    # split("") yields [""]: represent an empty document as zero lines
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(arr)
+
+
+def explode_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_empty: bool = True,
+) -> DataFrame:
+    """``(doc_id, line_number int 1-based, line, trimmed)``.
+
+    ``keep_empty=False`` reproduces the reference's non-empty filter
+    (file_utils.rs:27,44) — note numbering happens BEFORE the filter,
+    so line numbers still index into the original document.
+    """
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(split_lines(text_col)).alias("pos", "line"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("line_number"),
+        "line",
+        F.trim(F.col("line")).alias("trimmed"),
+    )
+    if not keep_empty:
+        out = out.filter(F.col("trimmed") != "")
+    return out

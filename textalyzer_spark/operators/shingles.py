@@ -1,0 +1,65 @@
+"""Token k-shingling — the seed stage of duplication detection
+(SURVEY.md §2 J1: the reference's line-content index at
+/root/reference/textalyzer/src/duplication.rs:85-125, generalized to
+token n-grams per BASELINE.json north_star "n-gram shingling with
+rolling-hash duplicate detection").
+
+All JVM-side: the shingle expansion is a higher-order-function
+``transform`` over the token array (no Python, no window shuffle —
+shingling is per-document so it rides the scan partitioning; the only
+shuffle is the final groupBy on the shingle key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from textalyzer_spark.functions.tokenize import tokens_col
+
+
+def shingles_from_tokens(tokens: Column, k: int) -> Column:
+    """array<string>: all k-grams (space-joined) of the token array."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+
+
+def doc_shingles(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, shingle string)`` — one row per k-gram occurrence."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_from_tokens(tokens_col(text_col), k)).alias("shingle"),
+    )
+
+
+def token_shingle_duplicates(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shingles shared by >1 document:
+    ``(shingle, n_occurrences bigint, n_docs bigint)``.
+
+    Equivalent to the reference's duplicate-line seed set
+    (duplication.rs:117-125) with HAVING over distinct docs. Catalyst
+    plans partial aggregation before the single hash-partition
+    exchange on ``shingle``; at 100 TB the distinct-count forces the
+    shuffle regardless, and AQE coalesces the output partitions.
+    """
+    return (
+        doc_shingles(df, k, id_col, text_col)
+        .groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("shingle"))
+    )

@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point (see SURVEY.md §4):
+AQE on (runtime coalescing + skew-join splitting), Arrow enabled for
+pandas UDF stages, shuffle partitions sized to the local core count
+(on a real cluster: 2-3x total executor cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "textalyzer-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` → ``local[*]``. On a real cluster these builder
+    calls are inert (spark-submit --conf wins); they matter only for
+    local runs and tests.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # long documents → keep Arrow batches bounded so a skewed doc
+        # cannot blow a single python-worker batch (SURVEY.md §4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
