@@ -25,10 +25,16 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from textalyzer_spark.shipping import ship_package
+
+    ship_package(spark)  # make UDF modules importable on python workers
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from textalyzer_spark.shipping import ship_package
+
+    ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -1,0 +1,120 @@
+"""Fixtures F-3..F-6, F-13 from FIXTURES.md (reference:
+textalyzer/src/duplication.rs test module :341-583)."""
+
+from __future__ import annotations
+
+import pytest
+
+from textalyzer_spark.operators.duplication import duplicate_blocks, duplicate_lines
+
+
+def _df(spark, docs: dict[str, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id string, text string"
+    )
+
+
+def _locs(row):
+    return [(l["doc_id"], l["line"]) for l in row["locations"]]
+
+
+def test_single_line_duplication_f3(spark):
+    df = _df(
+        spark,
+        {
+            "file1": "This is a test.\nThis is only a test.\nThis is a test.\n"
+            "# Ignore empty lines\n\n\n# Ignore short lines\nabc\nabc\n",
+            "file2": "This is a test.\n",
+        },
+    )
+    out = duplicate_lines(df).collect()
+    assert len(out) == 1
+    assert out[0]["content"] == "This is a test."
+    assert _locs(out[0]) == [("file1", 1), ("file1", 3), ("file2", 1)]
+
+
+FILE1_F4 = (
+    "This is a test.\nThis is a second line.\nThis is a third line.\n"
+    "Some other content.\nAnd another line here.\n"
+    "This is a test.\nThis is a second line.\nA different third line.\n"
+)
+FILE2_F4 = (
+    "Something unrelated.\nThis is a test.\nThis is a second line.\n"
+    "This is a third line.\nFinal line.\n"
+)
+
+
+def test_multi_line_overlap_suppression_f4(spark):
+    df = _df(spark, {"file1": FILE1_F4, "file2": FILE2_F4})
+    out = duplicate_blocks(df, min_lines=2).collect()
+    assert len(out) == 1
+    blk = out[0]
+    assert blk["content"] == (
+        "This is a test.\nThis is a second line.\nThis is a third line."
+    )
+    assert sorted(_locs(blk)) == [("file1", 1), ("file2", 2)]
+    assert blk["n_lines"] == 3 and blk["n_nonempty"] == 3
+
+
+def test_multi_line_non_overlapping_f5(spark):
+    block_a = "Alpha block line one.\nAlpha block line two.\nAlpha block line three."
+    block_b = "Beta block line one.\nBeta block line two."
+    file1 = f"{block_a}\nfiller one here.\n{block_b}\nmore filler.\n"
+    file2 = f"unrelated start line.\n{block_a}\nmid filler text.\n{block_b}\n"
+    df = _df(spark, {"file1": file1, "file2": file2})
+    out = duplicate_blocks(df, min_lines=2).collect()
+    assert len(out) == 2
+    by_content = {r["content"]: _locs(r) for r in out}
+    assert sorted(by_content[block_a]) == [("file1", 1), ("file2", 2)]
+    assert sorted(by_content[block_b]) == [("file1", 5), ("file2", 6)]
+    # pinned order: more non-empty lines first
+    assert out[0]["content"] == block_a
+
+
+def test_multi_line_ignores_indentation_f6(spark):
+    df = _df(
+        spark,
+        {
+            "file1": '    fn main() {\n        println!("Hello");\n    }\n',
+            "file2": 'fn main() {\nprintln!("Hello");\n}\n',
+        },
+    )
+    out = duplicate_blocks(df, min_lines=3).collect()
+    assert len(out) == 1
+    assert out[0]["content"] == 'fn main() {\nprintln!("Hello");\n}'
+    assert len(out[0]["locations"]) == 2
+
+
+def test_min_lines_filter(spark):
+    # the F-4 corpus has a 2-line duplicate; min_lines=4 must drop everything
+    df = _df(spark, {"file1": FILE1_F4, "file2": FILE2_F4})
+    assert duplicate_blocks(df, min_lines=4).count() == 0
+
+
+def test_min_lines_1_dispatches_to_single_line(spark):
+    df = _df(spark, {"f1": "Duplicate line here.\n", "f2": "Duplicate line here.\n"})
+    out = duplicate_blocks(df, min_lines=1).collect()
+    assert len(out) == 1
+    assert out[0]["content"] == "Duplicate line here."
+
+
+@pytest.mark.slow
+def test_synthetic_benchmark_f13(spark):
+    # 20 docs x 2000 lines, 30 planted 5-line blocks every 50 lines
+    # (reference duplication.rs:506-555): all 30 must be found.
+    docs = {}
+    n_blocks = 30
+    for d in range(20):
+        lines = []
+        for i in range(2000):
+            block_idx = i // 50
+            if i % 50 < 5 and block_idx < n_blocks:
+                lines.append(f"duplicated block {block_idx} line {i % 50} content")
+            else:
+                lines.append(f"unique doc{d} line{i} content xyz")
+        docs[f"doc{d}"] = "\n".join(lines) + "\n"
+    out = duplicate_blocks(_df(spark, docs), min_lines=5).collect()
+    assert len(out) == n_blocks
+    for r in out:
+        assert r["n_lines"] == 5
+        assert len(r["locations"]) == 20

@@ -1,0 +1,291 @@
+"""Duplicate line / block detection.
+
+Reference: /root/reference/textalyzer/src/duplication.rs —
+``find_duplicate_lines`` (:10-40, single-line mode) and
+``find_multi_line_duplications`` (:52-339, block mode) plus the
+post-filter in lib.rs:114-131.
+
+The reference grows blocks by pairwise sequential extension from each
+duplicate seed line (duplication.rs:141-254). That is O(pairs x
+run-length) pointer-chasing — not expressible (or desirable) in a
+distributed plan. We recover identical results with a relational
+formulation (BASELINE.json north_star: "n-gram shingling with
+rolling-hash duplicate detection"):
+
+1. explode lines, index duplicate trimmed lines (the reference's
+   line_index, :85-125) — groupBy + HAVING count>1;
+2. self-join the duplicate-line occurrences on trimmed content →
+   matching line pairs (the seed x other-location loop, :152-160);
+3. gaps-and-islands over (doc_a, doc_b, line_delta) recovers each
+   MAXIMAL consecutive matching run — replacing the sequential
+   extension scan (:174-185) with one window function;
+4. each run emits a candidate per side whose first line carries no
+   leading/trailing whitespace (the reference's quirk: the raw first
+   line must equal a trimmed index key, :144-149 — blocks indented at
+   every occurrence are invisible, test_duplication_ignores_indentation
+   relies on this); content = that side's raw lines dedented by the
+   common min leading whitespace (:194-218); both endpoints'
+   locations are recorded under that content (:220-233);
+5. greedy overlap resolution in pinned total order (:277-336), then
+   the min_lines non-empty filter (lib.rs:120-129).
+
+Pinned-order deviations from the reference (FIXTURES.md §3): ties in
+the block sort are resolved content-asc and locations are claimed in
+(doc_id, line) order — the reference is HashMap-nondeterministic on
+both. Two further documented deviations: (a) only MAXIMAL runs become
+candidates (the reference also emits every unindented suffix of a run;
+those are suppressed by overlap resolution in all but pathological
+claim orders); (b) runs do not extend through empty lines (the
+reference's extension matches empty-to-empty; its seeds never do).
+
+Scale notes: steps 1-4 are plain shuffles on content keys — AQE
+handles skew (a pathologically common line, e.g. "}", fans out into a
+large self-join; mitigate upstream with a frequency cap, see
+``max_locations_per_line``). Step 5 is sequential by definition
+(greedy over a total order); candidates are only the duplicated
+blocks, orders of magnitude smaller than the corpus. It runs in a
+single ``applyInPandas`` group; at 100 TB, partition candidates by
+connected component of the doc-overlap graph first — blocks in
+disjoint components cannot contend for positions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.lines import explode_lines
+
+_LOC = "array<struct<doc_id:string,line:int>>"
+
+
+def duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_bytes: int = 6,
+) -> DataFrame:
+    """Single-line duplication (reference duplication.rs:10-40).
+
+    ``(content, locations array<struct<doc_id,line>>, n_locations)``
+    ordered trimmed-byte-length desc (reference :33-37), content asc
+    (pinned tiebreak). Lines kept iff trimmed byte length > 5.
+    """
+    lines = explode_lines(df, id_col, text_col)
+    return (
+        lines.filter(F.octet_length("trimmed") >= min_bytes)
+        .groupBy(F.col("trimmed").alias("content"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("line_number").alias("line")))
+            ).alias("locations"),
+            F.count(F.lit(1)).alias("n_locations"),
+        )
+        .filter(F.col("n_locations") > 1)
+        .orderBy(F.desc(F.octet_length("content")), F.asc("content"))
+    )
+
+
+def _matching_line_pairs(lines: DataFrame, max_locations_per_line: int | None) -> DataFrame:
+    """Unordered pairs of distinct locations sharing a trimmed line."""
+    ne = lines.filter(F.col("trimmed") != "").select("doc_id", "line_number", "trimmed")
+    counts = ne.groupBy("trimmed").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    if max_locations_per_line is not None:
+        # skew guard: a token line like "}" occurring 10^6 times would
+        # create 10^12 pairs; cap participation (documented deviation)
+        counts = counts.filter(F.col("n") <= max_locations_per_line)
+    dup = ne.join(counts.select("trimmed"), "trimmed")
+    a, b = dup.alias("a"), dup.alias("b")
+    return (
+        a.join(b, F.col("a.trimmed") == F.col("b.trimmed"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            | (
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.line_number") < F.col("b.line_number"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("a.line_number").alias("la"),
+            F.col("b.doc_id").alias("db"),
+            F.col("b.line_number").alias("lb"),
+        )
+    )
+
+
+def _maximal_runs(pairs: DataFrame) -> DataFrame:
+    """Gaps-and-islands: maximal consecutive matching runs per doc pair."""
+    w = Window.partitionBy("da", "db", "delta").orderBy("la")
+    return (
+        pairs.withColumn("delta", F.col("la") - F.col("lb"))
+        .withColumn("island", F.col("la") - F.row_number().over(w))
+        .groupBy("da", "db", "delta", "island")
+        .agg(
+            F.min("la").alias("start_a"),
+            F.min("lb").alias("start_b"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .drop("delta", "island")
+    )
+
+
+def _candidates(runs: DataFrame, lines: DataFrame) -> DataFrame:
+    """Per-side block candidates: gate, dedent, content, both locations."""
+    occ = runs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("da").alias("doc_id"),
+                    F.col("start_a").alias("start"),
+                    F.col("n_lines"),
+                    F.col("db").alias("o_doc"),
+                    F.col("start_b").alias("o_start"),
+                ),
+                F.struct(
+                    F.col("db").alias("doc_id"),
+                    F.col("start_b").alias("start"),
+                    F.col("n_lines"),
+                    F.col("da").alias("o_doc"),
+                    F.col("start_a").alias("o_start"),
+                ),
+            )
+        ).alias("o")
+    ).select("o.*")
+
+    occ_lines = occ.withColumn(
+        "line_number", F.explode(F.sequence(F.col("start"), F.col("start") + F.col("n_lines") - 1))
+    ).join(lines, ["doc_id", "line_number"])
+
+    grouped = occ_lines.groupBy("doc_id", "start", "n_lines", "o_doc", "o_start").agg(
+        # reference gate (duplication.rs:144-149): scan only starts where
+        # the raw line equals its own trim (no leading/trailing ws)
+        F.max(
+            F.when(
+                F.col("line_number") == F.col("start"),
+                (F.col("line") == F.col("trimmed")) & (F.col("trimmed") != ""),
+            )
+        ).alias("gate"),
+        F.min(
+            F.when(
+                F.col("trimmed") != "",
+                F.length("line") - F.length(F.ltrim(F.col("line"))),
+            )
+        ).alias("min_indent"),
+        F.sort_array(F.collect_list(F.struct("line_number", "line"))).alias("ls"),
+    )
+
+    return (
+        grouped.filter(F.col("gate"))
+        .withColumn(
+            "content",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    "ls",
+                    lambda x: F.substring(x["line"], F.coalesce(F.col("min_indent"), F.lit(0)) + 1, 1 << 30),
+                ),
+            ),
+        )
+        .select(
+            "content",
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("start").alias("line")),
+                    F.struct(F.col("o_doc").alias("doc_id"), F.col("o_start").alias("line")),
+                )
+            ).alias("loc"),
+        )
+        .groupBy("content")
+        .agg(F.sort_array(F.collect_set("loc")).alias("locations"))
+        .withColumn(
+            "n_nonempty",
+            F.size(F.filter(F.split("content", "\n"), lambda l: F.trim(l) != "")),
+        )
+        .withColumn("n_lines", F.size(F.split("content", "\n")))
+        .withColumn("n_bytes", F.octet_length("content"))
+    )
+
+
+def _resolve_overlaps(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy overlap resolution (reference duplication.rs:298-336).
+
+    Sequential by definition; runs on the (small) candidate set inside
+    one task. Locations survive iff none of their lines was claimed by
+    an earlier block in the pinned total order.
+    """
+    pdf = pdf.sort_values(
+        ["n_nonempty", "n_bytes", "content"], ascending=[False, False, True]
+    )
+    used: set[tuple[str, int]] = set()
+    out = []
+    for row in pdf.itertuples(index=False):
+        span = row.n_lines
+        valid = []
+        claims = []
+        for loc in sorted((l["doc_id"], l["line"]) for l in row.locations):
+            doc, start = loc
+            cells = [(doc, ln) for ln in range(start, start + span)]
+            if any(c in used for c in cells):
+                continue
+            valid.append({"doc_id": doc, "line": start})
+            claims.extend(cells)
+        if len(valid) >= 2:
+            used.update(claims)
+            out.append(
+                {
+                    "content": row.content,
+                    "locations": valid,
+                    "n_lines": row.n_lines,
+                    "n_nonempty": row.n_nonempty,
+                    "n_bytes": row.n_bytes,
+                }
+            )
+    cols = ["content", "locations", "n_lines", "n_nonempty", "n_bytes"]
+    return pd.DataFrame(out, columns=cols)
+
+
+def duplicate_blocks(
+    df: DataFrame,
+    min_lines: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_locations_per_line: int | None = None,
+    resolve: bool = True,
+) -> DataFrame:
+    """Multi-line duplication (reference duplication.rs:52-339 +
+    lib.rs:114-131). ``min_lines <= 1`` dispatches to
+    :func:`duplicate_lines` per lib.rs:114-117.
+
+    Returns ``(content, locations array<struct<doc_id,line>>, n_lines,
+    n_nonempty)`` ordered (n_nonempty desc, byte length desc, content
+    asc). ``resolve=False`` skips the sequential overlap-resolution
+    stage and returns all maximal candidates (the fully-distributed
+    subset of the pipeline).
+    """
+    if min_lines <= 1:
+        return duplicate_lines(df, id_col, text_col)
+
+    lines = explode_lines(df, id_col, text_col)
+    pairs = _matching_line_pairs(lines, max_locations_per_line)
+    runs = _maximal_runs(pairs)
+    cands = _candidates(runs, lines)
+
+    if resolve:
+        schema = (
+            f"content string, locations {_LOC}, n_lines int, "
+            "n_nonempty int, n_bytes bigint"
+        )
+        cands = cands.withColumn("_g", F.lit(1))
+        resolved = cands.groupBy("_g").applyInPandas(
+            lambda _, pdf: _resolve_overlaps(pdf), schema
+        )
+    else:
+        resolved = cands
+
+    return (
+        resolved.filter(F.col("n_nonempty") >= min_lines)
+        .select("content", "locations", "n_lines", "n_nonempty")
+        .orderBy(F.desc("n_nonempty"), F.desc(F.octet_length("content")), F.asc("content"))
+    )

@@ -41,4 +41,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from textalyzer_spark.shipping import ship_package
+
+    ship_package(spark)
+    return spark
