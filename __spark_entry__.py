@@ -67,10 +67,122 @@ def q_shingle_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_shingle_duplicates(_docs(spark, sf_dir), k=3)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Flesch readability + lexical complexity (north_star)."""
+    from textalyzer_spark.operators.readability import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics (training-data quality signals)."""
+    from textalyzer_spark.operators.quality import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score per document."""
+    from textalyzer_spark.operators.quality import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language identification."""
+    from textalyzer_spark.operators.quality import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint per document."""
+    from textalyzer_spark.operators.quality import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash."""
+    from textalyzer_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-duplicate pairs (threshold 0.1)."""
+    from textalyzer_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.1)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (rows-only check:
+    xxhash64 has no DuckDB equivalent; recall is pytest-verified
+    against exact Jaccard in tests/test_dedup_similarity.py)."""
+    from textalyzer_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=5, threshold=0.1)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs, Hamming <= 6 (rows-only check)."""
+    from textalyzer_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors
+    (vec_id % 50 == 0) over the embeddings table."""
+    from textalyzer_spark.operators.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-5 (rows-only check; recall vs
+    brute force is pytest-verified)."""
+    from textalyzer_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_cosine_topk(emb, queries, k=5, dim=64, n_bits=8, n_tables=4)
+
+
+def q_line_display_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line display-width histogram via the Arrow-batched wcwidth UDF
+    (rows-only check: no DuckDB display-width; Unicode fixtures are
+    pytest-verified)."""
+    from textalyzer_spark.operators.line_length import line_length_histogram
+
+    return line_length_histogram(_docs(spark, sf_dir), use_display_width=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
+    "line_display_width": q_line_display_width,
     "shingle_dup": q_shingle_dup,
+    "readability": q_readability,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
 }
 
 
@@ -121,5 +233,184 @@ def oracle_sql() -> dict[str, str]:
             FROM sh WHERE shingle IS NOT NULL
             GROUP BY shingle HAVING count(DISTINCT doc_id) > 1
             ORDER BY n_occurrences DESC, shingle ASC
+        """,
+        "readability": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS toks,
+                     greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                              s -> trim(s) <> '')), 1) AS n_sentences
+              FROM documents
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS INTEGER) AS n_words,
+                     CAST(n_sentences AS INTEGER) AS n_sentences,
+                     CAST(coalesce(list_sum(list_transform(toks, w ->
+                        greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))
+                          - CASE WHEN w LIKE '%e' AND w NOT LIKE '%le'
+                                 AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+                                 THEN 1 ELSE 0 END))), 0) AS INTEGER) AS n_syllables,
+                     CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_words
+              FROM t
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables, n_distinct_words,
+              CASE WHEN n_words > 0
+                   THEN round(n_distinct_words / CAST(n_words AS DOUBLE), 4) END
+                AS type_token_ratio,
+              CASE WHEN n_words > 0
+                   THEN round(206.835 - 1.015*(n_words/CAST(n_sentences AS DOUBLE))
+                              - 84.6*(n_syllables/CAST(n_words AS DOUBLE)), 4) END
+                AS flesch_reading_ease,
+              CASE WHEN n_words > 0
+                   THEN round(0.39*(n_words/CAST(n_sentences AS DOUBLE))
+                              + 11.8*(n_syllables/CAST(n_words AS DOUBLE)) - 15.59, 4) END
+                AS fk_grade
+            FROM agg
+        """,
+        "token_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     regexp_extract_all(lower(text), '[a-z]+') AS toks,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS BIGINT)
+                       AS n_alpha_chars
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+              CAST(len(toks) AS INTEGER) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+              CASE WHEN len(toks) > 0
+                   THEN round(CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                              AS DOUBLE) / len(toks), 4) END AS avg_token_len,
+              CASE WHEN len(toks) > 0
+                   THEN round(CAST(len(list_filter(toks, w -> list_contains(
+                          ['the','a','an','and','or','of','to','in','is','it',
+                           'that','for','on','with','as','was','at','by','be'], w)))
+                        AS DOUBLE) / len(toks), 4) END AS stopword_ratio,
+              CASE WHEN n_chars > 0
+                   THEN round(n_alpha_chars / CAST(n_chars AS DOUBLE), 4) END AS alpha_ratio
+            FROM t
+        """,
+        "quality_score": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     regexp_extract_all(lower(text), '[a-z]+') AS toks,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS BIGINT)
+                       AS n_alpha_chars
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                CASE WHEN len(toks) > 0
+                     THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END AS ttr,
+                CASE WHEN len(toks) > 0
+                     THEN round(CAST(len(list_filter(toks, w -> list_contains(
+                            ['the','a','an','and','or','of','to','in','is','it',
+                             'that','for','on','with','as','was','at','by','be'], w)))
+                          AS DOUBLE) / len(toks), 4) END AS stopword_ratio,
+                CASE WHEN n_chars > 0
+                     THEN round(n_alpha_chars / CAST(n_chars AS DOUBLE), 4) END AS alpha_ratio
+              FROM t
+            )
+            SELECT doc_id,
+              round(0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                  + 0.25 * (CASE WHEN coalesce(stopword_ratio, 0.0) >= 0.01 THEN 1.0 ELSE 0.0 END)
+                  + 0.25 * least(round(ttr, 4) * 2, 1.0)
+                  + 0.25 * coalesce(alpha_ratio, 0.0), 6) AS quality_score,
+              n_tokens,
+              round(ttr, 4) AS type_token_ratio,
+              stopword_ratio,
+              alpha_ratio
+            FROM s
+        """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(toks, w -> list_contains(
+                  ['der','die','das','und','ist','nicht','ein','zu'], w))) AS s_de,
+                len(list_filter(toks, w -> list_contains(
+                  ['the','a','is','and','of','to','in','it'], w))) AS s_en,
+                len(list_filter(toks, w -> list_contains(
+                  ['el','la','los','es','y','de','que','un'], w))) AS s_es,
+                len(list_filter(toks, w -> list_contains(
+                  ['le','la','les','est','et','de','que','un'], w))) AS s_fr,
+                len(list_filter(toks, w -> list_contains(
+                  ['de','shi','le','bu','wo','ni','ta','men'], w))) AS s_zh
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'unk'
+                   WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                   ELSE 'zh' END AS pred_lang,
+              CAST(greatest(s_de,s_en,s_es,s_fr,s_zh) AS BIGINT) AS lang_score
+            FROM s
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS fingerprint,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win || ' '
+                       || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS shingle
+              FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), shn AS (
+              SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= 0.1
+        """,
+        "cosine_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0
+            ), scored AS (
+              SELECT q.query_id, v.vec_id,
+                     round(list_dot_product(q.qe, v.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(v.e, v.e))), 4) AS cosine
+              FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cosine, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
     }

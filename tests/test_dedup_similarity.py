@@ -1,0 +1,143 @@
+"""Dedup (exact / jaccard / minhash / simhash) and ANN similarity ops."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from textalyzer_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"), ("c", "other text")],
+        "doc_id string, text string",
+    )
+    out = {r["keep_id"]: r["n_docs"] for r in exact_dedup(df).collect()}
+    assert out == {"a": 2, "c": 1}
+
+
+def _near_dup_corpus(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    other = "one two three four five six seven eight nine ten"
+    return spark.createDataFrame(
+        [("a", base), ("b", near), ("c", other)], "doc_id string, text string"
+    )
+
+
+def test_ngram_jaccard(spark):
+    out = ngram_jaccard_pairs(_near_dup_corpus(spark), k=3, threshold=0.3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 8 shingles each, 7 shared → 7/9
+    assert (r["doc_a"], r["doc_b"]) == ("a", "b")
+    assert r["jaccard"] == pytest.approx(round(7 / 9, 4))
+
+
+def test_minhash_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps"), ("b", "the quick brown fox jumps")],
+        "doc_id string, text string",
+    )
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(df, k=2).collect()}
+    assert sigs["a"] == sigs["b"]
+    assert len(sigs["a"]) == 64
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    out = minhash_lsh_pairs(_near_dup_corpus(spark), k=3, threshold=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [("a", "b")]
+    assert out[0]["jaccard"] == pytest.approx(round(7 / 9, 4))
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    # 30 docs: 10 near-dup pairs (high jaccard) + 10 unrelated
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(10):
+        words = rng.sample(vocab, 30)
+        rows.append((f"p{i}a", " ".join(words)))
+        words2 = list(words)
+        words2[-1] = rng.choice(vocab)
+        rows.append((f"p{i}b", " ".join(words2)))
+    for i in range(10):
+        rows.append((f"u{i}", " ".join(rng.sample(vocab, 30))))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, k=3, threshold=0.5).collect()
+    }
+    assert lsh <= exact          # exact verification → perfect precision
+    assert len(lsh) >= 0.8 * len(exact)  # S-curve recall at t=0.5 is ~0.93
+    assert len(exact) >= 8
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "the quick brown fox jumps over the lazy dog"),
+            ("c", "entirely unrelated words about spark engines here"),
+        ],
+        "doc_id string, text string",
+    )
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert hs["a"] == hs["b"]
+    assert hs["a"] != hs["c"]
+    pairs = simhash_near_pairs(df, max_hamming=3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [("a", "b", 0)]
+
+
+def _vec_corpus(spark, n=40, dim=8, seed=3):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _cos(u, v):
+    dot = sum(x * y for x, y in zip(u, v))
+    return dot / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v)))
+
+
+def test_cosine_topk_matches_python(spark):
+    rows, df = _vec_corpus(spark)
+    queries = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    out = cosine_topk(df, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    vecs = dict(rows)
+    for qid in (0, 1):
+        golden = sorted(
+            ((i, round(_cos(vecs[qid], v), 4)) for i, v in rows if i != qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        assert by_q[qid] == golden
+
+
+def test_lsh_cosine_topk_recall(spark):
+    rows, df = _vec_corpus(spark, n=100, dim=8)
+    queries = df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    exact = cosine_topk(df, queries, k=5).collect()
+    approx = lsh_cosine_topk(df, queries, k=5, dim=8, n_bits=4, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # every returned neighbor must be correctly scored & a real vector
+    assert len(approx_set & exact_set) >= 0.5 * len(exact_set)

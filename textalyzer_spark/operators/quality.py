@@ -1,0 +1,154 @@
+"""Training-data quality operators: heuristic quality scoring,
+n-gram language identification, token statistics, fingerprinting.
+
+These extend the reference's text-metrics scope to what a large-scale
+training-data pipeline needs (driver brief). No reference analog —
+heuristics follow the public C4/Gopher-style quality-signal recipes.
+
+All operators are pure Catalyst expressions (no UDFs): they run inside
+whole-stage codegen and replicate exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from textalyzer_spark.functions.tokenize import tokens_col
+
+# marker stopwords per language, deliberately tiny + pinned so the
+# oracle SQL can inline them; alphabetical language order is the
+# documented tie-break (first alphabetical max wins)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en": ("the", "a", "is", "and", "of", "to", "in", "it"),
+    "es": ("el", "la", "los", "es", "y", "de", "que", "un"),
+    "fr": ("le", "la", "les", "est", "et", "de", "que", "un"),
+    "zh": ("de", "shi", "le", "bu", "wo", "ni", "ta", "men"),
+}
+
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+)
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics:
+    ``(doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    stopword_ratio, alpha_ratio)``."""
+    toks = tokens_col(text_col)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        toks.alias("toks"),
+        # chars that are part of alphabetic runs vs total
+        F.length(F.regexp_replace(F.col(text_col), r"[^\p{IsAlphabetic}]+", ""))
+        .cast("bigint")
+        .alias("n_alpha_chars"),
+    )
+    n = F.size("toks").cast("double")
+    stop = F.size(
+        F.filter("toks", lambda w: w.isin(*ENGLISH_STOPWORDS))
+    ).cast("double")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.round(
+                F.aggregate(
+                    "toks", F.lit(0), lambda acc, w: acc + F.length(w)
+                ).cast("double")
+                / n,
+                4,
+            ),
+        ).alias("avg_token_len"),
+        F.when(F.size("toks") > 0, F.round(stop / n, 4)).alias("stopword_ratio"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("n_alpha_chars") / F.col("n_chars").cast("double"), 4),
+        ).alias("alpha_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite heuristic quality score in [0,1] (C4/Gopher-style
+    signals, pinned weights): length band + lexical diversity +
+    stopword presence + alphabetic density.
+
+    ``(doc_id, quality_score, n_tokens, type_token_ratio,
+    stopword_ratio, alpha_ratio)``
+    """
+    stats = token_stats(df, id_col, text_col)
+    # every component is rounded to 4 decimals before the weighted sum,
+    # so the score is an exact 6-decimal value — round(…, 6) is then
+    # unambiguous across engines (a 4-decimal final round would sit on
+    # .5 boundaries systematically: 0.25 * 4-decimal = 5 decimals)
+    ttr = F.round(
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_distinct_tokens") / F.col("n_tokens").cast("double"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    len_ok = (
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    ).cast("double")
+    stop_ok = (F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) >= 0.01).cast("double")
+    alpha = F.coalesce(F.col("alpha_ratio"), F.lit(0.0))
+    score = F.round(
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * stop_ok
+        + F.lit(0.25) * F.least(ttr * 2, F.lit(1.0))
+        + F.lit(0.25) * alpha,
+        6,
+    )
+    return stats.select(
+        "doc_id",
+        score.alias("quality_score"),
+        "n_tokens",
+        F.round(ttr, 4).alias("type_token_ratio"),
+        "stopword_ratio",
+        "alpha_ratio",
+    )
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-stopword language identification:
+    ``(doc_id, pred_lang, lang_score)``. On a score tie the first
+    language in alphabetical order wins ('unk' when all scores are 0).
+    """
+    toks = tokens_col(text_col)
+    langs = sorted(LANG_MARKERS)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[_lang_score(toks, lg).alias(f"s_{lg}") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("unk"))
+    for lg in langs:
+        pred = pred.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return out.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint over whitespace-normalized lowercased text:
+    ``(doc_id, fingerprint string)`` (md5 hex). The normalization makes
+    the fingerprint robust to whitespace-only edits — the exact-dedup
+    key for :func:`textalyzer_spark.operators.dedup.exact_dedup`."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -1,0 +1,175 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column (``array<float>``).
+
+Two strategies (driver brief):
+
+* :func:`cosine_topk` — brute-force cosine top-k. The query set is
+  broadcast (it is small by definition); the corpus side streams
+  through a single whole-stage-codegen'd projection computing the
+  dot product with higher-order functions — no Python, no shuffle
+  except the final per-query top-k aggregation.
+* :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH
+  (sign bits of projections onto seeded pseudo-random hyperplanes)
+  buckets vectors; only bucket-colliding (query, vector) pairs are
+  scored. Recall < 1 by construction; multiple hash tables raise it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query:
+    ``(query_id, vec_id, cosine, rank)``; ``cosine`` rounded to 4
+    decimals, rank by (rounded cosine desc, vec_id asc) — fully pinned
+    so results are reproducible across engines. Self-matches
+    (query_id == vec_id) are excluded.
+
+    The corpus never shuffles for the join: the query side is
+    broadcast and each corpus partition emits its local scores; the
+    only exchange is the per-query top-k (a window over query_id —
+    at 10^12 rows swap for an `aggregate`-based partial top-k).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v_vec"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplane_bits(vec: Column, dim: int, n_bits: int, seed: int) -> Column:
+    """Sign-bit signature from seeded pseudo-random hyperplanes.
+
+    Hyperplane components are derived deterministically from
+    xxhash64((bit, dim_index, seed)) mapped to [-1, 1] — no stored
+    model, identical on every executor, pure Catalyst arithmetic.
+    """
+    def component(b: Column, d: Column) -> Column:
+        h = F.xxhash64(b.cast("string"), d.cast("string"), F.lit(str(seed)))
+        return (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda b: (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda d: component(b, d),
+                    ),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int"),
+    )
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: ``(query_id, vec_id, cosine, rank)``.
+
+    Each of ``n_tables`` tables buckets vectors by an ``n_bits``
+    sign-bit signature; a (query, vector) pair is scored iff it
+    collides in >=1 table. Expected candidate fraction per table is
+    ~(1 - theta/pi)^n_bits for angle theta. Scoring + top-k identical
+    to :func:`cosine_topk`, so output schema/ordering match exactly.
+    """
+    # each table's bits come from a distinct seed (reusing one
+    # signature across tables would make every table identical)
+    def signed_multi(df: DataFrame, id_alias: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        parts = []
+        for t in range(n_tables):
+            bits = _hyperplane_bits(vec, dim, n_bits, seed + 7919 * t)
+            parts.append(
+                F.struct(
+                    F.lit(t).alias("table"),
+                    F.concat_ws(
+                        "", F.transform(bits, lambda x: x.cast("string"))
+                    ).alias("bucket"),
+                )
+            )
+        return df.select(
+            F.col(id_alias).alias(id_alias),
+            vec.alias(f"_vec_{id_alias}"),
+            F.explode(F.array(*parts)).alias("tb"),
+        ).select(id_alias, f"_vec_{id_alias}", "tb.table", "tb.bucket")
+
+    vs = signed_multi(vectors.withColumnRenamed(id_col, "vec_id"), "vec_id")
+    qs = signed_multi(queries.withColumnRenamed(query_id_col, "query_id"), "query_id")
+    cands = (
+        vs.join(F.broadcast(qs), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("_vec_query_id").alias("q_vec"),
+            F.col("_vec_vec_id").alias("v_vec"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

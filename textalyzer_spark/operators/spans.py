@@ -1,0 +1,115 @@
+"""Span pipeline over the canonical nested table
+``documents(doc_id, spans array<struct<kind,text,media_ref,offset>>)``.
+
+North_star contract: text-kind spans flow through the Arrow-batched
+tokenizer into frequency maps and syllable-count readability metrics;
+media-kind spans are carried through UNTOUCHED; the emitted
+per-document span sequence must satisfy exact
+``(kind, text, media_ref, order)`` equality against the input.
+
+The pipeline deliberately explodes spans, processes them, and
+reassembles the sequence (rather than passing the array column through
+opaquely) — that is the shape the 100 TB job has, and the equality
+invariant then actually proves order preservation across the shuffle.
+
+Reference analog: per-file analysis loops in
+/root/reference/textalyzer/src/lib.rs:35-56 (histogram) — the
+reference has no media concept; media passthrough is the north_star
+extension for interleaved corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from textalyzer_spark.functions.syllables import syllables_col
+from textalyzer_spark.functions.tokenize import tokens_udf
+
+
+def explode_spans(nested: DataFrame) -> DataFrame:
+    """``(doc_id, pos, kind, text, media_ref, offset)`` — one row per
+    span, ``pos`` = 0-based position in the original array (the
+    ``order`` of the equality invariant)."""
+    return nested.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref", "span.offset")
+
+
+def process_spans(nested: DataFrame) -> DataFrame:
+    """Tokenize text spans (Arrow-batched pandas UDF — the mandated
+    no-per-row-Python path), pass media spans through untouched, and
+    reassemble each document's span sequence in original order.
+
+    Returns ``(doc_id, spans, n_text_spans, n_media_spans, n_tokens,
+    n_syllables)`` where ``spans`` is bit-identical to the input
+    sequence on (kind, text, media_ref, order).
+    """
+    spans = explode_spans(nested)
+    toks = F.when(F.col("kind") == "text", tokens_udf(F.col("text"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    enriched = spans.withColumn("tokens", toks).withColumn(
+        "span_syllables",
+        F.aggregate(
+            F.transform("tokens", syllables_col), F.lit(0), lambda acc, x: acc + x
+        ),
+    )
+    return (
+        enriched.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("pos", "kind", "text", "media_ref", "offset")
+                    )
+                ),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+            F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias(
+                "n_text_spans"
+            ),
+            F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias(
+                "n_media_spans"
+            ),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+            F.sum("span_syllables").alias("n_syllables"),
+        )
+    )
+
+
+def span_word_frequency(nested: DataFrame) -> DataFrame:
+    """Corpus word-frequency over text spans only — must equal the
+    flat-table histogram when the nested table was synthesized from it
+    (spans split at whitespace boundaries, corpus.py)."""
+    spans = explode_spans(nested).filter(F.col("kind") == "text")
+    return (
+        spans.select(F.explode(tokens_udf(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("word"))
+    )
+
+
+def span_readability(nested: DataFrame) -> DataFrame:
+    """Per-document readability computed over concatenated text spans
+    (sentence boundaries must see the full document text, so this
+    reassembles text before scoring)."""
+    from textalyzer_spark.operators.readability import readability
+
+    flat = nested.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            "",
+        ).alias("text"),
+    )
+    return readability(flat)
