@@ -1,0 +1,96 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The authoritative target metric (BASELINE.json) is documents/sec for
+tokenize+metrics over the interleaved nested corpus; the JSON also
+reports it as ``docs_per_sec_tokenize_metrics``. Scaling-efficiency
+evidence (same job at local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> int:
+    """Fully execute a plan without driver-side result transfer."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from textalyzer_spark.session import get_spark
+
+    spark = get_spark("textalyzer-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    bench_queries = [
+        "word_frequency",
+        "line_length",
+        "shingle_dup",
+        "readability",
+        "token_stats",
+        "quality_score",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "ngram_jaccard",
+        "minhash_lsh",
+        "simhash_pairs",
+        "cosine_topk",
+        "lsh_cosine_topk",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footer caches once (excluded from timings)
+    qs["word_frequency"](spark, sf_dir).limit(1).collect()
+
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # north metric: tokenize+metrics docs/sec over the nested corpus
+    from textalyzer_spark.corpus import nested_from_flat
+    from textalyzer_spark.operators.spans import process_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    _materialize(process_spans(nested_from_flat(docs)))
+    span_elapsed = time.perf_counter() - t0
+    timings["span_tokenize_metrics"] = round(span_elapsed, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec_tokenize_metrics": round(n_docs / span_elapsed, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

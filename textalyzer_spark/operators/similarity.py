@@ -77,34 +77,36 @@ def cosine_topk(
     )
 
 
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes, precomputed driver-side.
+
+    Components land in Catalyst as array literals — no per-row hash
+    arithmetic, identical on every executor, no stored model."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
 def _hyperplane_bits(vec: Column, dim: int, n_bits: int, seed: int) -> Column:
-    """Sign-bit signature from seeded pseudo-random hyperplanes.
-
-    Hyperplane components are derived deterministically from
-    xxhash64((bit, dim_index, seed)) mapped to [-1, 1] — no stored
-    model, identical on every executor, pure Catalyst arithmetic.
-    """
-    def component(b: Column, d: Column) -> Column:
-        h = F.xxhash64(b.cast("string"), d.cast("string"), F.lit(str(seed)))
-        return (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
-
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 1)),
-        lambda b: (
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda d: component(b, d),
+    """Sign-bit signature of ``vec`` against the seeded hyperplanes."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(c) for c in plane]),
+                        lambda x, h: x * h,
                     ),
-                    lambda x, h: x * h,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for plane in planes
+        ]
     )
 
 
