@@ -1,0 +1,73 @@
+"""Presentation layer: byte-exact re-implementations of the
+reference's terminal renderers, used for golden-output tests.
+
+* frequency bars — /root/reference/textalyzer/src/frequency.rs:46-91
+  (right-aligned word and count columns, two-space gutters, '▆' bars
+  scaled into the space left of an 80-column line, f32 rounding)
+* line-length histogram — /root/reference/textalyzer/src/line_length.rs:39-91
+  (Length/Count/Histogram header, dashes, 60-column f64-rounded bars)
+
+The engine's contract is the DataFrame/JSON shapes; these formatters
+exist so the reference's e2e golden (239,902 bytes of histogram
+stdout for examples/1984.txt, integration_tests.rs:18-23) can gate
+our tokenizer+aggregation end to end.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from textalyzer_spark.functions.width import str_display_width
+
+MAX_LINE_LENGTH = 80
+MAX_BAR = 60
+BAR = "▆"
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def format_freq_map(rows: list[tuple[str, int]]) -> str:
+    """Render (word, count) rows — pass them pre-sorted (count desc,
+    word asc: the pinned tie order; the reference sorts count desc
+    only and its byte-count golden is tie-order-invariant)."""
+    if not rows:
+        return ""
+    max_word_w = max(str_display_width(w) for w, _ in rows)
+    highest = max(c for _, c in rows)
+    max_num_w = len(str(highest))
+    remaining = MAX_LINE_LENGTH - (max_word_w + 2 + max_num_w + 2)
+    out = []
+    rem32 = np.float32(remaining)
+    high32 = np.float32(highest)
+    for word, count in rows:
+        # reference computes the bar in f32 (frequency.rs:76-77)
+        bar_w = _round_half_away(float(rem32 / high32 * np.float32(count)))
+        pad_w = max_word_w - str_display_width(word)
+        out.append(f"{' ' * pad_w}{word}  {str(count).rjust(max_num_w)}  {BAR * bar_w}\n")
+    return "".join(out)
+
+
+def format_line_length_histogram(rows: list[tuple[int, int]]) -> str:
+    """Render (length, count) rows sorted by length asc
+    (line_length.rs:39-91)."""
+    if not rows:
+        return "No lines found to analyze."
+    rows = sorted(rows)
+    max_length = rows[-1][0]
+    max_count = max(c for _, c in rows)
+    lw = len(str(max_length))
+    cw = len(str(max_count))
+    out = [
+        f"{'Length'.rjust(lw)}  {'Count'.rjust(cw)}  Histogram\n",
+        f"{'-' * lw}  {'-' * cw}  {'-' * 9}\n",
+    ]
+    for length, count in rows:
+        bar_w = _round_half_away(MAX_BAR * (count / max_count)) if max_count else 0
+        out.append(
+            f"{str(length).rjust(lw)}  {str(count).rjust(cw)}  {BAR * bar_w}\n"
+        )
+    return "".join(out)
