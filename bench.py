@@ -58,8 +58,17 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM + parquet footer caches once (excluded from timings)
+    # warm the JVM, parquet footer caches, AND one python worker per
+    # core (pandas-UDF stages otherwise pay interpreter spin-up inside
+    # the first timed query) — excluded from timings
+    from pyspark.sql import functions as FN
+
+    from textalyzer_spark.functions.tokenize import tokens_udf
+
     qs["word_frequency"](spark, sf_dir).limit(1).collect()
+    spark.range(cpus * 4).repartition(cpus).withColumn(
+        "t", tokens_udf(FN.lit("warm up text"))
+    ).write.format("noop").mode("overwrite").save()
 
     for name in bench_queries:
         t0 = time.perf_counter()

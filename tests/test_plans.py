@@ -1,0 +1,61 @@
+"""Plan-shape regression tests: pushdown, pruning, codegen, broadcast
+(SURVEY.md §4 — these properties ARE the 100 TB design; pin them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.frequency import word_frequency
+from textalyzer_spark.operators.similarity import cosine_topk
+from textalyzer_spark.plans.inspect import (
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+    wholestage_codegen_ids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(docs):
+    q = word_frequency(docs.filter(F.col("lang") == "en"), "text")
+    pf = " ".join(pushed_filters(q))
+    assert "lang" in pf  # predicate pushed to parquet
+
+
+def test_column_pruning(docs):
+    # a 1-column projection must not read the whole 5-column table
+    q = word_frequency(docs, "text")
+    cols = read_schema_columns(q)
+    assert cols == {"text"}
+
+    q2 = word_frequency(docs.filter(F.col("lang") == "en"), "text")
+    assert read_schema_columns(q2) == {"lang", "text"}
+
+
+def test_frequency_is_wholestage_codegen(spark, docs):
+    # JVM tokenizer path: the scan→explode→partial-agg pipeline must
+    # run inside whole-stage codegen (no Python in the hot path).
+    # AQE hides codegen markers in pre-execution explain output, so
+    # inspect the plan with AQE off (execution behavior is identical).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = word_frequency(docs, "text")
+        assert len(wholestage_codegen_ids(q, execute=False)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_cosine_topk_broadcasts_queries(spark, docs):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    q = cosine_topk(emb, queries, k=3)
+    assert uses_broadcast_join(q)  # corpus side must NOT shuffle

@@ -71,3 +71,40 @@ def format_line_length_histogram(rows: list[tuple[int, int]]) -> str:
             f"{str(length).rjust(lw)}  {str(count).rjust(cw)}  {BAR * bar_w}\n"
         )
     return "".join(out)
+
+
+# --- reference-shaped JSON sinks (types.rs:108-137, lib.rs:39-49,134-147) ---
+
+
+def frequency_json(rows: list[tuple[str, int]]) -> str:
+    """``[{word, count}]`` sorted count desc, word asc (lib.rs:41-47)."""
+    import json
+
+    items = [
+        {"word": w, "count": c}
+        for w, c in sorted(rows, key=lambda t: (-t[1], t[0]))
+    ]
+    return json.dumps(items, indent=2, ensure_ascii=False)
+
+
+def line_length_json(rows: list[tuple[int, int]]) -> str:
+    """``[{length, count}]`` sorted by length (line_length.rs:101-110)."""
+    import json
+
+    items = [{"length": l, "count": c} for l, c in sorted(rows)]
+    return json.dumps(items, indent=2, ensure_ascii=False)
+
+
+def duplication_json(rows: list[tuple[str, list[tuple[str, int]]]]) -> str:
+    """``[{content, locations: [{path, line}]}]`` in the given order
+    (lib.rs:134-147 preserves the resolved block order)."""
+    import json
+
+    items = [
+        {
+            "content": content,
+            "locations": [{"path": p, "line": ln} for p, ln in locs],
+        }
+        for content, locs in rows
+    ]
+    return json.dumps(items, indent=2, ensure_ascii=False)
