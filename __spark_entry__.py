@@ -167,7 +167,27 @@ def q_line_display_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_length_histogram(_docs(spark, sf_dir), use_display_width=True)
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation per event_type."""
+    from textalyzer_spark.operators.events import tumbling_counts
+    from textalyzer_spark.shipping import ship_package
+
+    ship_package(spark)
+    return tumbling_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user."""
+    from textalyzer_spark.operators.events import sessionize
+    from textalyzer_spark.shipping import ship_package
+
+    ship_package(spark)
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_windowed": q_events_windowed,
+    "sessionize": q_sessionize,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
@@ -198,6 +218,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect ANSI SQL equivalents over the same parquet views."""
     return {
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM o
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "word_frequency": """
             SELECT w AS word, count(*) AS count
             FROM (
