@@ -31,6 +31,11 @@ def run_once(cores: int, sf_dir: str, multiplier: int) -> dict:
     spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # repartition BEFORE the multiplier explode: the source is one
+    # small parquet file (one scan partition), so exploding first
+    # would fan out 5M rows inside a single task — a serial stage that
+    # dominates and fakes bad scaling
+    docs = docs.repartition(cores * 4)
     if multiplier > 1:
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(1), F.lit(multiplier)))
@@ -40,7 +45,6 @@ def run_once(cores: int, sf_dir: str, multiplier: int) -> dict:
             ),
             "text",
         )
-    docs = docs.repartition(cores * 4)
     n_docs = docs.count()
 
     # warmup: run the FULL job once so every python worker (one per
