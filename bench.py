@@ -86,6 +86,21 @@ def main() -> None:
     span_elapsed = time.perf_counter() - t0
     timings["span_tokenize_metrics"] = round(span_elapsed, 3)
 
+    # comparable to the reference's headline number (BASELINE.md:
+    # `histogram examples/1984.txt`, 40.4 ms single-process Rust):
+    # same text, same histogram, measured as a warm Spark job
+    corpus_1984 = "/root/reference/examples/1984.txt"
+    if os.path.exists(corpus_1984):
+        from textalyzer_spark.operators.frequency import word_frequency
+
+        with open(corpus_1984, encoding="utf-8") as f:
+            text_1984 = f.read()
+        df_1984 = spark.createDataFrame([("1984", text_1984)], "doc_id string, text string")
+        word_frequency(df_1984).limit(1).collect()  # warm
+        t0 = time.perf_counter()
+        _materialize(word_frequency(df_1984))
+        timings["histogram_1984_single_doc"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_bench_seconds",
