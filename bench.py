@@ -76,13 +76,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # north metric: tokenize+metrics docs/sec over the nested corpus
+    # (fused single-pass pipeline — see tools/scaling_bench.py)
     from textalyzer_spark.corpus import nested_from_flat
-    from textalyzer_spark.operators.spans import process_spans
+    from textalyzer_spark.operators.spans import process_spans_fused
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
     n_docs = docs.count()
+    nested = nested_from_flat(docs)
     t0 = time.perf_counter()
-    _materialize(process_spans(nested_from_flat(docs)))
+    _materialize(process_spans_fused(nested))
     span_elapsed = time.perf_counter() - t0
     timings["span_tokenize_metrics"] = round(span_elapsed, 3)
 

@@ -65,12 +65,26 @@ def test_span_sequence_equality_distributed(spark):
     assert _seq(out) == _seq(nested.collect())
 
 
-def test_narrow_and_exploded_variants_agree(spark):
+def test_all_variants_agree(spark):
+    from textalyzer_spark.operators.spans import process_spans_fused
+
     nested = nested_from_texts(spark, TEXTS)
     cols = ["doc_id", "n_text_spans", "n_media_spans", "n_tokens", "n_syllables"]
     a = {tuple(r[c] for c in cols) for r in process_spans(nested).collect()}
     b = {tuple(r[c] for c in cols) for r in process_spans_exploded(nested).collect()}
-    assert a == b
+    c = {tuple(r[c] for c in cols) for r in process_spans_fused(nested).collect()}
+    d = {
+        tuple(r[c] for c in cols)
+        for r in process_spans(nested, use_pandas_udf=False).collect()
+    }
+    assert a == b == c == d
+
+
+def test_fused_span_sequence_equality(spark):
+    from textalyzer_spark.operators.spans import process_spans_fused
+
+    nested = nested_from_texts(spark, TEXTS)
+    assert _seq(process_spans_fused(nested).collect()) == _seq(nested.collect())
 
 
 def test_span_metrics(spark):

@@ -16,6 +16,7 @@ plain-Python version for tests.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -23,8 +24,11 @@ from pyspark.sql import functions as F
 _VOWEL_RUN = re.compile(r"[aeiouy]+")
 
 
+@lru_cache(maxsize=1 << 17)
 def count_syllables(word: str) -> int:
-    """Plain-Python reference implementation (tests/goldens)."""
+    """Plain-Python implementation (tests/goldens and the fused
+    mapInPandas pipeline). Memoized: token frequency is Zipfian, so
+    per-worker caching removes most regex work in the hot path."""
     w = word.lower()
     groups = len(_VOWEL_RUN.findall(w))
     if w.endswith("e") and not w.endswith("le") and groups > 1:

@@ -36,7 +36,7 @@ def explode_spans(nested: DataFrame) -> DataFrame:
     ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref", "span.offset")
 
 
-def process_spans(nested: DataFrame) -> DataFrame:
+def process_spans(nested: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
     """Tokenize text spans (Arrow-batched pandas UDF — the mandated
     no-per-row-Python path), pass media spans through untouched.
 
@@ -64,12 +64,18 @@ def process_spans(nested: DataFrame) -> DataFrame:
         "",
     )
     kinds = F.transform("spans", lambda s: s["kind"])
+    # the Arrow-batched UDF is the default (input_hint mandate); the
+    # JVM tokenizer is the all-codegen variant for comparison —
+    # identical output on any corpus both Unicode tables agree on
+    from textalyzer_spark.functions.tokenize import tokens_col
+
+    tokens = tokens_udf(text_concat) if use_pandas_udf else tokens_col(text_concat)
     toked = nested.select(
         "doc_id",
         "spans",
         F.size(F.filter(kinds, lambda k: k == "text")).alias("n_text_spans"),
         F.size(F.filter(kinds, lambda k: k == "media")).alias("n_media_spans"),
-        tokens_udf(text_concat).alias("tokens"),
+        tokens.alias("tokens"),
     )
     return toked.select(
         "doc_id",
@@ -83,6 +89,54 @@ def process_spans(nested: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_syllables"),
     )
+
+
+def process_spans_fused(nested: DataFrame) -> DataFrame:
+    """Single-pass mapInPandas variant of :func:`process_spans` (same
+    output schema and values).
+
+    Why it exists: the pandas-UDF variant routes every row through
+    ArrowEvalPython, which queues the ORIGINAL row (the heavy spans
+    array) in a HybridRowQueue while the python result is awaited —
+    measured as a hard ~12 s floor on 2M docs that does not improve
+    with cores. Fusing tokenize+syllables+passthrough into ONE
+    mapInPandas stage streams each Arrow batch through python exactly
+    once, no JVM-side row queue, and python does the cheap metric
+    arithmetic it already has in hand.
+    """
+    import pandas as pd
+
+    from textalyzer_spark.functions.syllables import count_syllables
+    from textalyzer_spark.functions.tokenize import tokenize_text
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, n_text_spans bigint, "
+        "n_media_spans bigint, n_tokens bigint, n_syllables bigint"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            n_text, n_media, n_tok, n_syl = [], [], [], []
+            for spans in pdf["spans"]:
+                texts = [s["text"] for s in spans if s["kind"] == "text"]
+                n_text.append(len(texts))
+                n_media.append(sum(1 for s in spans if s["kind"] == "media"))
+                toks = tokenize_text("".join(texts))
+                n_tok.append(len(toks))
+                n_syl.append(sum(count_syllables(t) for t in toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "spans": pdf["spans"],
+                    "n_text_spans": n_text,
+                    "n_media_spans": n_media,
+                    "n_tokens": n_tok,
+                    "n_syllables": n_syl,
+                }
+            )
+
+    return nested.mapInPandas(run, schema)
 
 
 def process_spans_exploded(nested: DataFrame) -> DataFrame:

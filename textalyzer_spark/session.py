@@ -35,9 +35,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # long documents → keep Arrow batches bounded so a skewed doc
-        # cannot blow a single python-worker batch (SURVEY.md §4)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing trades python round-trip overhead against
+        # worst-case batch memory on skewed (pathologically long)
+        # documents; 8192 is the balanced default, override via env
+        # for short-doc benchmark corpora (SURVEY.md §4)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "8192"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
