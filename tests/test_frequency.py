@@ -44,6 +44,17 @@ def test_word_frequency_spark(spark, text, gold, use_udf):
     assert keys == sorted(keys)
 
 
+def test_frequency_scalars_a5(spark):
+    # SURVEY §2 A5: formatting scalars (max count / display widths)
+    from textalyzer_spark.operators.frequency import frequency_scalars
+
+    df = spark.createDataFrame([(F1_TEXT,)], "text string")
+    row = frequency_scalars(word_frequency(df)).collect()[0]
+    assert row["max_count"] == 3
+    assert row["max_word_width"] == 9  # 'frequency'
+    assert row["max_count_width"] == 1
+
+
 def test_jvm_and_udf_paths_agree(spark):
     texts = [(F1_TEXT,), (F2_TEXT,), ("Grüße, Welt! naïve café 123",), ("",)]
     df = spark.createDataFrame(texts, "text string")
