@@ -76,15 +76,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # north metric: tokenize+metrics docs/sec over the nested corpus
-    # (fused single-pass pipeline — see tools/scaling_bench.py)
+    # (mapInArrow single-pass pipeline — see tools/scaling_bench.py
+    # and the BENCH.md variant study)
     from textalyzer_spark.corpus import nested_from_flat
-    from textalyzer_spark.operators.spans import process_spans_fused
+    from textalyzer_spark.operators.spans import process_spans_arrow
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
     n_docs = docs.count()
     nested = nested_from_flat(docs)
     t0 = time.perf_counter()
-    _materialize(process_spans_fused(nested))
+    _materialize(process_spans_arrow(nested))
     span_elapsed = time.perf_counter() - t0
     timings["span_tokenize_metrics"] = round(span_elapsed, 3)
 

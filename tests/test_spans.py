@@ -66,7 +66,10 @@ def test_span_sequence_equality_distributed(spark):
 
 
 def test_all_variants_agree(spark):
-    from textalyzer_spark.operators.spans import process_spans_fused
+    from textalyzer_spark.operators.spans import (
+        process_spans_arrow,
+        process_spans_fused,
+    )
 
     nested = nested_from_texts(spark, TEXTS)
     cols = ["doc_id", "n_text_spans", "n_media_spans", "n_tokens", "n_syllables"]
@@ -77,7 +80,15 @@ def test_all_variants_agree(spark):
         tuple(r[c] for c in cols)
         for r in process_spans(nested, use_pandas_udf=False).collect()
     }
-    assert a == b == c == d
+    e = {tuple(r[c] for c in cols) for r in process_spans_arrow(nested).collect()}
+    assert a == b == c == d == e
+
+
+def test_arrow_span_sequence_equality(spark):
+    from textalyzer_spark.operators.spans import process_spans_arrow
+
+    nested = nested_from_texts(spark, TEXTS)
+    assert _seq(process_spans_arrow(nested).collect()) == _seq(nested.collect())
 
 
 def test_fused_span_sequence_equality(spark):

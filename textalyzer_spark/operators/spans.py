@@ -139,6 +139,69 @@ def process_spans_fused(nested: DataFrame) -> DataFrame:
     return nested.mapInPandas(run, schema)
 
 
+def process_spans_arrow(nested: DataFrame) -> DataFrame:
+    """mapInArrow variant of :func:`process_spans_fused` (same output
+    schema and values).
+
+    The fused pandas variant still pays python dict materialization of
+    every span struct in both directions; here the spans column stays
+    a pyarrow ListArray end to end (zero-copy passthrough) and python
+    touches only the flat kind/text child arrays. This is the fastest
+    python-tokenizer variant and the production default candidate.
+    """
+    import pyarrow as pa
+
+    from textalyzer_spark.functions.syllables import count_syllables
+    from textalyzer_spark.functions.tokenize import tokenize_text
+
+    schema_str = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, n_text_spans bigint, "
+        "n_media_spans bigint, n_tokens bigint, n_syllables bigint"
+    )
+
+    def run(batches):
+        for b in batches:
+            spans = b.column(b.schema.get_field_index("spans"))
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            flat = spans.flatten()
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+            offsets = spans.offsets.to_pylist()
+            n_text, n_media, n_tok, n_syl = [], [], [], []
+            for i in range(len(offsets) - 1):
+                lo, hi = offsets[i], offsets[i + 1]
+                t_parts = [
+                    texts[j] for j in range(lo, hi) if kinds[j] == "text"
+                ]
+                n_text.append(len(t_parts))
+                n_media.append((hi - lo) - len(t_parts))
+                toks = tokenize_text("".join(t_parts))
+                n_tok.append(len(toks))
+                n_syl.append(sum(count_syllables(t) for t in toks))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    spans,
+                    pa.array(n_text, pa.int64()),
+                    pa.array(n_media, pa.int64()),
+                    pa.array(n_tok, pa.int64()),
+                    pa.array(n_syl, pa.int64()),
+                ],
+                names=[
+                    "doc_id",
+                    "spans",
+                    "n_text_spans",
+                    "n_media_spans",
+                    "n_tokens",
+                    "n_syllables",
+                ],
+            )
+
+    return nested.mapInArrow(run, schema_str)
+
+
 def process_spans_exploded(nested: DataFrame) -> DataFrame:
     """Explode → process → reassemble variant of :func:`process_spans`
     (same output schema); exists to prove (kind, text, media_ref,

@@ -67,7 +67,7 @@ def prepare_corpus(sf_dir: str, multiplier: int) -> str:
 
 
 def run_once(cores: int, nested_path: str) -> dict:
-    from textalyzer_spark.operators.spans import process_spans_fused
+    from textalyzer_spark.operators.spans import process_spans_arrow
     from textalyzer_spark.session import get_spark
 
     os.environ.setdefault("SPARK_ARROW_BATCH", "65536")
@@ -77,10 +77,10 @@ def run_once(cores: int, nested_path: str) -> dict:
     docs = spark.read.parquet(nested_path)
     n_docs = docs.count()
 
-    # the fused single-pass mapInPandas pipeline: measured as both the
-    # fastest stable variant and the one that scales (the pandas-UDF
-    # variant's ArrowEvalPython row queue flatlines with extra cores)
-    job = process_spans_fused(docs)
+    # the mapInArrow single-pass pipeline: spans stay a pyarrow
+    # ListArray end to end (no python dict materialization) — fastest
+    # and most stable variant measured (BENCH.md variant study)
+    job = process_spans_arrow(docs)
 
     # warmup: run the FULL job once so every python worker (one per
     # core) pays its interpreter+import spin-up outside the timing —
@@ -156,7 +156,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "job": "tokenize+metrics (process_spans_fused over nested corpus)",
+                "job": "tokenize+metrics (process_spans_arrow over nested corpus)",
                 "sf_dir": sf_dir,
                 "multiplier": multiplier,
                 "engine": engine,
