@@ -54,6 +54,10 @@ def main() -> None:
         "simhash_pairs",
         "cosine_topk",
         "lsh_cosine_topk",
+        "token_counts",
+        "winnow_pairs",
+        "events_windowed",
+        "sessionize",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
