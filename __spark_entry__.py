@@ -204,11 +204,30 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_near_dup_pairs(_docs(spark, sf_dir), min_shared=3, min_overlap=0.5)
 
 
+def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative character frequency (the reference's dormant
+    relative-character-frequency.tsv asset, realized)."""
+    from textalyzer_spark.operators.frequency import char_frequency
+
+    return char_frequency(_docs(spark, sf_dir))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
+    synthetic embeddings are near-uniform, max pairwise cosine ~0.51;
+    real near-dup corpora use ~0.95)."""
+    from textalyzer_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.35)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
     "winnow_pairs": q_winnow_pairs,
+    "char_frequency": q_char_frequency,
+    "embedding_near_dup": q_embedding_near_dup,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
@@ -239,6 +258,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect ANSI SQL equivalents over the same parquet views."""
     return {
+        "char_frequency": """
+            WITH chars AS (
+              SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z]+', '', 'g'), '')) AS ch
+              FROM documents
+            ), counts AS (
+              SELECT ch, count(*) AS count FROM chars WHERE ch <> '' GROUP BY ch
+            )
+            SELECT ch, count,
+                   round(count / CAST((SELECT sum(count) FROM counts) AS DOUBLE), 6)
+                     AS rel_freq
+            FROM counts
+            ORDER BY count DESC, ch ASC
+        """,
+        "embedding_near_dup": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
+        """,
         "token_counts": r"""
             SELECT doc_id,
               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

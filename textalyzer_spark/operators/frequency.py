@@ -41,6 +41,38 @@ def word_frequency(
     )
 
 
+def char_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Relative character frequency of alphabetic characters:
+    ``(ch string, count bigint, rel_freq double)`` ordered count desc,
+    ch asc; rel_freq rounded to 6 decimals.
+
+    Reference analog: the dormant
+    ``languages/english/relative-character-frequency.tsv`` asset
+    (referenced nowhere in the reference's code — SURVEY.md §0); this
+    operator is what that asset implies: the a-z relative-frequency
+    profile of a corpus, the input to frequency-based language/cipher
+    analysis.
+    """
+    chars = df.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]+", ""), "")
+        ).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("count"))
+    total = counts.agg(F.sum("count").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "ch",
+            "count",
+            F.round(F.col("count") / F.col("total").cast("double"), 6).alias(
+                "rel_freq"
+            ),
+        )
+        .orderBy(F.desc("count"), F.asc("ch"))
+    )
+
+
 def frequency_scalars(freq: DataFrame) -> DataFrame:
     """Formatting scalars (max count / widths) for the bar renderer.
 

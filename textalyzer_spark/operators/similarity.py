@@ -77,6 +77,38 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs:
+    ``(vec_a, vec_b, cosine)`` for all pairs with cosine >= threshold,
+    vec_a < vec_b, cosine rounded to 4 decimals.
+
+    Brute-force all-pairs (the exact baseline the LSH variant is
+    measured against). The join is a self-cross restricted by id
+    ordering; at 10^12 vectors use :func:`lsh_cosine_topk` buckets
+    as the candidate generator and this only as the verifier.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a = v.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     """Seeded pseudo-random hyperplanes, precomputed driver-side.
 
