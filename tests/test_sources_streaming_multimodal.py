@@ -49,6 +49,34 @@ def test_streaming_word_frequency(spark, tmp_path):
     assert got == {"spark": 3, "flink": 1, "beam": 1}
 
 
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    from textalyzer_spark.streaming.jobs import streaming_first_seen
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    # batch 1: two unique docs + an intra-batch duplicate
+    spark.createDataFrame(
+        [("a", "alpha text"), ("b", "beta text"), ("a2", "alpha text")],
+        "doc_id string, text string",
+    ).write.mode("append").parquet(inp)
+    from textalyzer_spark.streaming.jobs import run_to_completion_foreach
+
+    rows1 = run_to_completion_foreach(
+        streaming_first_seen(spark, inp), ckpt, output_mode="update"
+    )
+    assert {r["doc_id"] for r in rows1} == {"a", "b"}  # a2 deduped in-batch
+
+    # batch 2 (same checkpoint → only new files processed): one dup of
+    # batch 1, one genuinely new doc — state must drop the former
+    spark.createDataFrame(
+        [("c", "alpha text"), ("d", "gamma text")],
+        "doc_id string, text string",
+    ).write.mode("append").parquet(inp)
+    rows2 = run_to_completion_foreach(
+        streaming_first_seen(spark, inp), ckpt, output_mode="update"
+    )
+    assert {r["doc_id"] for r in rows2} == {"d"}
+
+
 def test_decode_media_stub_is_honest():
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "image", fake=False)

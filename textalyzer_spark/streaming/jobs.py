@@ -45,14 +45,84 @@ def streaming_quality_scores(spark: SparkSession, input_dir: str) -> DataFrame:
     return quality_score(_stream(spark, input_dir))
 
 
+def streaming_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: cross-batch exact dedup.
+
+    Emits each document the FIRST time its content fingerprint is
+    seen across the lifetime of the stream; later microbatches
+    containing the same fingerprint emit nothing. State (one flag per
+    fingerprint) lives in the streaming state store and survives
+    restarts via the checkpoint — the streaming twin of the batch
+    ``exact_dedup`` operator, built on ``applyInPandasWithState``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = _stream(spark, input_dir)
+    keyed = docs.withColumn("fingerprint", F.md5("text"))
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.sort_values("doc_id").iloc[:1]
+        if first is not None:
+            state.update((1,))
+            yield pd.DataFrame(
+                {
+                    "doc_id": first["doc_id"].astype(str),
+                    "fingerprint": [key[0]],
+                }
+            )
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        first_seen,
+        outputStructType="doc_id string, fingerprint string",
+        stateStructType="seen int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion_foreach(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> list:
+    """Drain all currently-available input via foreachBatch (unlike
+    the memory sink, foreachBatch supports restarting from an existing
+    checkpoint — required for stateful operators across runs)."""
+    collected: list = []
+
+    def fb(batch_df, _batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected
+
+
+_SINK_SEQ = [0]
+
+
 def run_to_completion(
     stream_df: DataFrame,
     checkpoint_dir: str,
     output_mode: str = "complete",
 ) -> list:
     """Drain all currently-available input (Trigger.AvailableNow) into
-    an in-memory sink and return the result rows."""
-    name = f"snk_{abs(hash(checkpoint_dir)) % 10**8}"
+    an in-memory sink and return the rows emitted by THIS run (the
+    sink name is unique per call so successive runs don't mix)."""
+    _SINK_SEQ[0] += 1
+    name = f"snk_{abs(hash(checkpoint_dir)) % 10**8}_{_SINK_SEQ[0]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
