@@ -98,6 +98,28 @@ def test_min_lines_1_dispatches_to_single_line(spark):
     assert out[0]["content"] == "Duplicate line here."
 
 
+def test_component_and_global_resolution_agree(spark):
+    # two disjoint doc groups + one intra-group overlap each: the
+    # per-component scale path must equal the global sequential pass
+    blk1 = "group one line a\ngroup one line b\ngroup one line c"
+    blk2 = "group two line x\ngroup two line y\ngroup two line z"
+    docs = {
+        "g1a": f"{blk1}\nfiller here one\n",
+        "g1b": f"pre filler.\n{blk1}\n",
+        "g2a": f"{blk2}\nother filler.\n",
+        "g2b": f"start text.\n{blk2}\n",
+        "solo": "nothing shared at all\n",
+    }
+    df = _df(spark, docs)
+    a = duplicate_blocks(df, min_lines=2, resolution="components").collect()
+    b = duplicate_blocks(df, min_lines=2, resolution="global").collect()
+    norm = lambda rows: sorted(
+        (r["content"], tuple(sorted(_locs(r)))) for r in rows
+    )
+    assert norm(a) == norm(b)
+    assert len(a) == 2
+
+
 @pytest.mark.slow
 def test_synthetic_benchmark_f13(spark):
     # 20 docs x 2000 lines, 30 planted 5-line blocks every 50 lines

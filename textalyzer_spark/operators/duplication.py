@@ -208,6 +208,61 @@ def _candidates(runs: DataFrame, lines: DataFrame) -> DataFrame:
     )
 
 
+def _doc_components(cands: DataFrame, max_iters: int = 12) -> DataFrame:
+    """Connected components of the doc-overlap graph: ``(doc_id,
+    component)`` where component = min doc_id in the component.
+
+    Greedy overlap resolution decomposes EXACTLY by these components:
+    a block's claims only contend with blocks sharing a document, and
+    every candidate's location set is a clique in this graph — so
+    per-component resolution is parity-identical to the global
+    sequential pass, but runs one task per component.
+
+    Pregel-lite min-label propagation (driver loop, ~log(diameter)
+    rounds; candidate graphs are shallow — docs linked by shared
+    blocks)."""
+    docs = (
+        cands.select(F.explode("locations").alias("l"))
+        .select(F.col("l.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    edges = (
+        cands.select(
+            F.col("locations")[0]["doc_id"].alias("src"),
+            F.explode("locations").alias("l"),
+        )
+        .select("src", F.col("l.doc_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint()  # cut the iterative lineage
+    return labels
+
+
 def _resolve_overlaps(pdf: pd.DataFrame) -> pd.DataFrame:
     """Greedy overlap resolution (reference duplication.rs:298-336).
 
@@ -253,6 +308,7 @@ def duplicate_blocks(
     text_col: str = "text",
     max_locations_per_line: int | None = None,
     resolve: bool = True,
+    resolution: str = "components",
 ) -> DataFrame:
     """Multi-line duplication (reference duplication.rs:52-339 +
     lib.rs:114-131). ``min_lines <= 1`` dispatches to
@@ -260,9 +316,14 @@ def duplicate_blocks(
 
     Returns ``(content, locations array<struct<doc_id,line>>, n_lines,
     n_nonempty)`` ordered (n_nonempty desc, byte length desc, content
-    asc). ``resolve=False`` skips the sequential overlap-resolution
-    stage and returns all maximal candidates (the fully-distributed
-    subset of the pipeline).
+    asc). ``resolve=False`` skips the overlap-resolution stage and
+    returns all maximal candidates.
+
+    ``resolution='components'`` (default, the scale path) runs the
+    greedy overlap resolution per connected component of the
+    doc-overlap graph — parity-identical to ``'global'`` (one
+    sequential pass over everything) because blocks in disjoint
+    components can never contend for line positions.
     """
     if min_lines <= 1:
         return duplicate_lines(df, id_col, text_col)
@@ -277,10 +338,25 @@ def duplicate_blocks(
             f"content string, locations {_LOC}, n_lines int, "
             "n_nonempty int, n_bytes bigint"
         )
-        cands = cands.withColumn("_g", F.lit(1))
-        resolved = cands.groupBy("_g").applyInPandas(
-            lambda _, pdf: _resolve_overlaps(pdf), schema
-        )
+        if resolution == "components":
+            comp = _doc_components(cands)
+            keyed = cands.withColumn(
+                "_g", F.col("locations")[0]["doc_id"]
+            ).join(
+                comp.select(
+                    F.col("doc_id").alias("_g"),
+                    F.col("component").alias("_comp"),
+                ),
+                "_g",
+            )
+            resolved = keyed.groupBy("_comp").applyInPandas(
+                lambda _, pdf: _resolve_overlaps(pdf), schema
+            )
+        else:
+            keyed = cands.withColumn("_g", F.lit(1))
+            resolved = keyed.groupBy("_g").applyInPandas(
+                lambda _, pdf: _resolve_overlaps(pdf), schema
+            )
     else:
         resolved = cands
 
