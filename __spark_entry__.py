@@ -212,6 +212,19 @@ def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_frequency(_docs(spark, sf_dir))
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cell probe) ANN top-5 (rows-only check; recall vs
+    brute force is pytest-verified on a clustered corpus)."""
+    from textalyzer_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_cosine_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
     synthetic embeddings are near-uniform, max pairwise cosine ~0.51;
@@ -228,6 +241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": q_winnow_pairs,
     "char_frequency": q_char_frequency,
     "embedding_near_dup": q_embedding_near_dup,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,

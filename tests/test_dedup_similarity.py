@@ -132,6 +132,31 @@ def test_cosine_topk_matches_python(spark):
         assert by_q[qid] == golden
 
 
+def test_ivf_cosine_topk_recall(spark):
+    from textalyzer_spark.operators.similarity import ivf_cosine_topk
+
+    # clustered corpus: 4 gaussian-ish blobs so IVF cells mean something
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.1) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+    exact = cosine_topk(df, queries, k=5).collect()
+    approx = ivf_cosine_topk(df, queries, k=5, n_clusters=8, n_probe=3).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(approx_set & exact_set) >= 0.7 * len(exact_set)
+    # scored cosines must be exact for whatever it returns
+    exact_by_pair = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        pair = (r["query_id"], r["vec_id"])
+        if pair in exact_by_pair:
+            assert r["cosine"] == exact_by_pair[pair]
+
+
 def test_lsh_cosine_topk_recall(spark):
     rows, df = _vec_corpus(spark, n=100, dim=8)
     queries = df.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")

@@ -109,6 +109,118 @@ def embedding_near_dup_pairs(
     )
 
 
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by cosine (JVM-side argmax over
+    broadcast centroid literals).
+
+    Implemented as array_max over (sim, idx) structs — a chained
+    when/otherwise argmax would reference the running best twice per
+    step and the expression tree doubles per centroid (2^n nodes; 16
+    centroids OOM'd the driver at plan build)."""
+    structs = [
+        F.struct(
+            _cosine(vec, F.array(*[F.lit(c) for c in cen])).alias("sim"),
+            F.lit(i).alias("cluster"),
+        )
+        for i, cen in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*structs))["cluster"]
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer, then each
+    query scores only the vectors in its ``n_probe`` nearest cells.
+    Output schema/ordering identical to :func:`cosine_topk`.
+
+    The quantizer is mini k-means on the DataFrame: centroids live on
+    the driver (n_clusters x dim floats — tiny), assignment is a
+    broadcast argmax projection, the update step is one groupBy over
+    (cluster, dim). Scored fraction ~= n_probe / n_clusters; recall
+    depends on how clustered the corpus is (pytest-checked vs brute
+    force).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    # deterministic init: first n_clusters vectors by id
+    init = v.orderBy("vec_id").limit(n_clusters).collect()
+    centroids = [list(r["vec"]) for r in init]
+
+    for _ in range(iters):
+        assigned = v.withColumn("cluster", _nearest_centroid(F.col("vec"), centroids))
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("vec").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_cents = {}
+        for r in sums:
+            new_cents.setdefault(r["cluster"], {})[r["dim"]] = r["mean"]
+        centroids = [
+            [new_cents[c][d] for d in sorted(new_cents[c])]
+            if c in new_cents
+            else centroids[c]
+            for c in range(n_clusters)
+        ]
+
+    assigned = v.withColumn("cluster", _nearest_centroid(F.col("vec"), centroids))
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    # n_probe nearest cells per query: rank the per-centroid sims
+    sims = [
+        _cosine(F.col("q_vec"), F.array(*[F.lit(c) for c in cen])).alias(f"_s{i}")
+        for i, cen in enumerate(centroids)
+    ]
+    q_cells = q.select("query_id", "q_vec", *sims)
+    cell_structs = F.array(
+        *[
+            F.struct(F.col(f"_s{i}").alias("sim"), F.lit(i).alias("cluster"))
+            for i in range(n_clusters)
+        ]
+    )
+    q_probed = q_cells.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(cell_structs)), 1, n_probe)
+        ).alias("cell"),
+    ).select("query_id", "q_vec", F.col("cell.cluster").alias("cluster"))
+
+    scored = (
+        assigned.join(F.broadcast(q_probed), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("q_vec"), F.col("vec")), 4).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     """Seeded pseudo-random hyperplanes, precomputed driver-side.
 
