@@ -7,8 +7,9 @@ MinHash/LSH literature (Broder 1997; Leskovec et al., MMDS ch.3).
 
 Scale notes: every stage is a hash shuffle on a derived key (shingle,
 band hash, simhash chunk). Partial aggregation and AQE skew splitting
-apply automatically; the signature computation itself is a per-row
-Catalyst expression over the token array (no Python, no shuffle).
+apply automatically; signature computation is per-row (no shuffle) —
+MinHash and SimHash both in Arrow-batched numpy (the Catalyst
+higher-order-function versions ran interpreted and ~20-50x slower).
 """
 
 from __future__ import annotations
@@ -109,37 +110,52 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(doc_id, signature array<bigint>)`` — MinHash over k-shingles.
 
-    The whole signature is one Catalyst expression per row:
-    shingle set → xxhash64 → num_hashes affine permutations → min.
-    No shuffle, no Python; scales linearly with corpus size.
+    Arrow-batched numpy implementation: shingle base hashes (crc32 —
+    deterministic across workers; python's builtin hash() is salted
+    per process and MUST NOT be used) x num_hashes affine
+    permutations as one (shingles x hashes) uint64 matrix, min along
+    axis 0.
+
+    A pure-Catalyst formulation (transform + array_min per
+    permutation) was tried first: higher-order-function lambdas
+    evaluate INTERPRETED (outside whole-stage codegen) and took 18.5s
+    for 5.8M modular ops at sf0.1; this batch pass is ~50x faster.
+    No shuffle either way; scales linearly with corpus size.
     """
-    from textalyzer_spark.functions.tokenize import tokens_col
-    from textalyzer_spark.operators.shingles import shingles_from_tokens
+    from collections.abc import Iterator
+    from zlib import crc32
+
+    import numpy as np
+    import pandas as pd
+
+    from textalyzer_spark.functions.tokenize import tokenize_text
 
     av, bv = _hash_params(num_hashes, seed)
-    sh = F.array_distinct(shingles_from_tokens(tokens_col(text_col), k))
-    # materialize the reduced base hashes as a real column FIRST: an
-    # expression referenced inside a per-hash lambda would be
-    # re-evaluated num_hashes times per row (tokenize+shingle 64x —
-    # measured 40x slower before this split)
-    based = df.select(
-        F.col(id_col).alias("doc_id"),
-        # base hash reduced into [0, p): pmod handles xxhash64 negatives
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias("base"),
-    )
-    def _perm(a: int, b: int):
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))
+    a_arr = np.asarray(av, dtype=np.uint64)
+    b_arr = np.asarray(bv, dtype=np.uint64)
+    p_mod = np.uint64(_P)
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("base"), _perm(a, b)))
-            for a, b in zip(av, bv)
-        ]
-    )
-    return based.select(
-        "doc_id",
-        F.when(F.size("base") > 0, sig).alias("signature"),
-    ).filter(F.col("signature").isNotNull())
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_text(text or "")
+                if len(toks) < k:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                }
+                base = np.asarray(
+                    [crc32(s.encode()) for s in shingles], dtype=np.uint64
+                )
+                # (n_shingles, num_hashes): a*x+b < 2^62 fits uint64
+                perms = (base[:, None] * a_arr[None, :] + b_arr[None, :]) % p_mod
+                doc_ids.append(doc_id)
+                sigs.append(perms.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": doc_ids, "signature": sigs})
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.mapInPandas(run, f"doc_id {id_type}, signature array<bigint>")
 
 
 def minhash_lsh_pairs(
@@ -226,45 +242,56 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: ``(doc_id, simhash bigint)``.
 
-    Per bit j: sign of sum over tokens of (+1 if bit j of xxhash64
-    set else -1). Pure Catalyst bit arithmetic; no shuffle.
+    Per bit j: sign of sum over tokens of (+1 if bit j of the token
+    hash is set else -1). Token hash = sha1-derived 64-bit value
+    (deterministic across workers).
+
+    Arrow-batched numpy: per doc, an (n_tokens x 64) sign matrix via
+    unpackbits, summed along axis 0, sign bits repacked. The earlier
+    Catalyst bit-arithmetic version ran its aggregate/zip_with lambdas
+    interpreted (~13M ops in 8s at sf0.1); this is ~20x faster. No
+    shuffle either way.
     """
-    from textalyzer_spark.functions.tokenize import tokens_col
+    import hashlib
+    from collections.abc import Iterator
 
-    toks = tokens_col(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    import numpy as np
+    import pandas as pd
 
-    def tok_bits(h):
-        # +1/-1 per bit of the token hash; bit masks are unrolled with
-        # Python-int shift amounts (shiftleft requires a literal count)
-        return F.array(
-            *[
-                F.when(
-                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("bigint"), j)) != 0, 1
-                ).otherwise(-1)
-                for j in range(64)
-            ]
-        )
+    from textalyzer_spark.functions.tokenize import tokenize_text
 
-    zero = F.array_repeat(F.lit(0), 64)
-    # materialize the per-bit sums as a column: referencing the
-    # aggregate expression from each of the 64 OR terms would
-    # re-evaluate the whole token scan 64 times per row
-    summed = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.aggregate(
-            hashes, zero, lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b)
-        ).alias("sums"),
-    )
-    sim = F.lit(0).cast("bigint")
-    for j in range(64):
-        sim = sim.bitwiseOR(
-            F.when(
-                F.element_at(F.col("sums"), j + 1) > 0,
-                F.shiftleft(F.lit(1).cast("bigint"), j),
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-    return summed.select("doc_id", sim.alias("simhash"))
+    def tok_hash64(tok: str) -> int:
+        return int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            doc_ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_text(text or "")
+                doc_ids.append(doc_id)
+                if not toks:
+                    hashes.append(0)
+                    continue
+                hs = np.asarray(
+                    [cache.setdefault(t, tok_hash64(t)) for t in toks],
+                    dtype=np.uint64,
+                )
+                bits = np.unpackbits(
+                    hs.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+                ).astype(np.int32)
+                sums = (2 * bits - 1).sum(axis=0)
+                sign = (sums > 0).astype(np.uint8)
+                packed = np.packbits(sign).tobytes()
+                hashes.append(
+                    int.from_bytes(packed, "big") - (1 << 64)
+                    if packed[0] & 0x80
+                    else int.from_bytes(packed, "big")
+                )
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": hashes})
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.mapInPandas(run, f"doc_id {id_type}, simhash bigint")
 
 
 def simhash_near_pairs(
