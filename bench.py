@@ -82,10 +82,23 @@ def main() -> None:
     # north metric: tokenize+metrics docs/sec over the nested corpus
     # (mapInArrow single-pass pipeline — see tools/scaling_bench.py
     # and the BENCH.md variant study)
+    from pyspark.sql import functions as SF
+
     from textalyzer_spark.corpus import nested_from_flat
     from textalyzer_spark.operators.spans import process_spans_arrow
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
+    # replicate x40 so the throughput number measures the pipeline,
+    # not fixed job overhead (5k docs finish in ~1s of scheduling)
+    mult = 40
+    docs = docs.withColumn(
+        "rep", SF.explode(SF.sequence(SF.lit(1), SF.lit(mult)))
+    ).select(
+        SF.concat_ws("_", SF.col("doc_id").cast("string"), SF.col("rep")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
     n_docs = docs.count()
     nested = nested_from_flat(docs)
     t0 = time.perf_counter()
