@@ -31,11 +31,33 @@ def doc_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(doc_id, shingle string)`` — one row per k-gram occurrence."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_from_tokens(tokens_col(text_col), k)).alias("shingle"),
-    )
+    """``(doc_id, shingle string)`` — one row per k-gram occurrence.
+
+    Arrow-batched: the Catalyst transform/slice/concat_ws expansion
+    runs interpreted (~10s for 260k shingles at sf0.1); the batch pass
+    emits identical strings in well under a second."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from textalyzer_spark.functions.tokenize import tokenize_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_text(text or "")
+                n = len(toks) - k + 1
+                if n <= 0:
+                    continue
+                ids.extend([doc_id] * n)
+                shingles.extend(
+                    " ".join(toks[i : i + k]) for i in range(n)
+                )
+            yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.mapInPandas(run, f"doc_id {id_type}, shingle string")
 
 
 def token_shingle_duplicates(
