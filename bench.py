@@ -106,6 +106,21 @@ def main() -> None:
     span_elapsed = time.perf_counter() - t0
     timings["span_tokenize_metrics"] = round(span_elapsed, 3)
 
+    # flagship operator: multi-line duplication over a line-structured
+    # corpus synthesized from the flat one (newline every 8 tokens) —
+    # exercises the full seed-join/islands/dedent/resolve pipeline
+    from textalyzer_spark.operators.duplication import duplicate_blocks
+
+    line_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        FN.regexp_replace(
+            FN.col("text"), r"((\S+\s+){7}\S+)\s+", "$1\n"
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    _materialize(duplicate_blocks(line_docs, min_lines=3))
+    timings["duplicate_blocks"] = round(time.perf_counter() - t0, 3)
+
     # comparable to the reference's headline number (BASELINE.md:
     # `histogram examples/1984.txt`, 40.4 ms single-process Rust):
     # same text, same histogram, measured as a warm Spark job

@@ -57,6 +57,15 @@ from pyspark.sql import functions as F
 
 from textalyzer_spark.operators.lines import explode_lines
 
+def _loc_schema(df: DataFrame, id_col: str) -> str:
+    """locations element type follows the input's doc_id type — a
+    hardcoded string schema raises ArrowTypeError on bigint doc_ids
+    (the driver's flat table uses int64 ids; fixtures use strings)."""
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return f"array<struct<doc_id:{id_type},line:int>>"
+
+
+# kept for callers that build fixture-shaped (string-id) frames
 _LOC = "array<struct<doc_id:string,line:int>>"
 
 
@@ -238,6 +247,11 @@ def _doc_components(cands: DataFrame, max_iters: int = 12) -> DataFrame:
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # every loop iteration fires an action: without materializing the
+    # edge set first, the full upstream candidate pipeline re-executes
+    # per iteration (measured: minutes instead of seconds at sf0.1)
+    edges = edges.localCheckpoint()
+    docs = docs.localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iters):
         msgs = (
@@ -335,10 +349,13 @@ def duplicate_blocks(
 
     if resolve:
         schema = (
-            f"content string, locations {_LOC}, n_lines int, "
+            f"content string, locations {_loc_schema(df, id_col)}, n_lines int, "
             "n_nonempty int, n_bytes bigint"
         )
         if resolution == "components":
+            # cands feeds three consumers (component docs, edges, and
+            # the resolution join) — materialize once
+            cands = cands.localCheckpoint()
             comp = _doc_components(cands)
             keyed = cands.withColumn(
                 "_g", F.col("locations")[0]["doc_id"]
