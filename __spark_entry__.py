@@ -319,7 +319,10 @@ def oracle_sql() -> dict[str, str]:
             ), ne AS (
               SELECT * FROM lines WHERE trimmed <> ''
             ), dupk AS (
-              SELECT trimmed FROM ne GROUP BY trimmed HAVING count(*) > 1
+              -- > 1: duplicate seeds; <= 1000 mirrors the engine's
+              -- max_locations_per_line skew guard (default ON)
+              SELECT trimmed FROM ne GROUP BY trimmed
+              HAVING count(*) > 1 AND count(*) <= 1000
             ), duploc AS (
               SELECT ne.doc_id, ne.line_number, ne.trimmed
               FROM ne JOIN dupk USING (trimmed)
@@ -451,10 +454,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY count DESC, word ASC
         """,
         "line_length": """
-            SELECT CAST(length(line) AS INTEGER) AS length, count(*) AS count
+            -- mirrors split_lines (Rust str::lines semantics): strip ONE
+            -- trailing newline, emit zero lines for the then-empty doc,
+            -- and drop a trailing carriage return per line (CRLF)
+            SELECT CAST(length(regexp_replace(raw_line, chr(13) || '$', ''))
+                        AS INTEGER) AS length,
+                   count(*) AS count
             FROM (
-              SELECT unnest(string_split(regexp_replace(text, '\n$', ''), chr(10))) AS line
-              FROM documents WHERE length(text) > 0
+              SELECT unnest(string_split(regexp_replace(text, '\n$', ''), chr(10)))
+                       AS raw_line
+              FROM documents WHERE length(regexp_replace(text, '\n$', '')) > 0
             )
             GROUP BY 1
             ORDER BY 1
@@ -622,10 +631,16 @@ def oracle_sql() -> dict[str, str]:
             ), shn AS (
               SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
             ), sizes AS (
+              -- sizes BEFORE the doc-freq cap (capping only lowers jaccard)
               SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1
+            ), kept AS (
+              -- mirrors the engine's max_doc_freq=100 skew guard
+              SELECT shingle FROM shn GROUP BY shingle HAVING count(*) <= 100
+            ), shc AS (
+              SELECT shn.doc_id, shn.shingle FROM shn JOIN kept USING (shingle)
             ), inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

@@ -92,9 +92,17 @@ def run_with_lineage(
             )
         result.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
         elapsed = time.perf_counter() - t0
+        # count from the COMMITTED output, not by re-running the
+        # transform: re-aggregating `result` would execute the whole
+        # transform a second time per batch, and a nondeterministic
+        # transform could record n_rows inconsistent with the data
+        # actually written. Counting parquet is metadata-cheap
+        # (row-group footers).
         counts = {
             r["bucket"]: r["n_rows"]
-            for r in result.groupBy("bucket")
+            for r in spark.read.parquet(data_path)
+            .filter(F.col("bucket").isin(batch))
+            .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .collect()
         }

@@ -19,9 +19,10 @@ from pyspark.sql import functions as F
 
 from textalyzer_spark.operators.shingles import doc_shingles
 
-# Mersenne prime 2^31-1: with a,b,x all < p, a*x + b < 2^62 so the
-# modular hash stays exact in signed 64-bit (Spark 4 ANSI mode throws
-# on overflow; a 2^61 prime would overflow the multiply).
+# Mersenne prime 2^31-1: the base hash is reduced mod p BEFORE the
+# affine transform, so a,b,(x mod p) < p and a*x + b < 2^62 — exact in
+# signed 64-bit (Spark 4 ANSI mode throws on overflow; a 2^61 prime
+# would overflow the multiply).
 _P = (1 << 31) - 1
 
 
@@ -46,6 +47,7 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -54,14 +56,29 @@ def ngram_jaccard_pairs(
     jaccard rounded to 4 decimals, doc_a < doc_b.
 
     Shuffles: distinct shingles (1), self-join on shingle (2),
-    pair aggregation (3). The self-join fans out quadratically on
-    ultra-common shingles — at scale drop the top-percentile shingles
-    first (stopword shingles carry no dedup signal), or use
-    :func:`minhash_lsh_pairs` which replaces the full self-join with
+    pair aggregation (3).
+
+    ``max_doc_freq`` (default ON) drops shingles appearing in more
+    than that many documents BEFORE the self-join — the skew/scale
+    guard: a boilerplate shingle in f documents fans out f^2/2 join
+    rows while carrying no dedup signal. Document sizes are computed
+    before the drop, so a capped shingle can only LOWER a pair's
+    jaccard (never create a false positive); pairs whose overlap is
+    pure boilerplate are intentionally suppressed. ``None`` restores
+    the uncapped exact semantics. At 10^12 docs prefer
+    :func:`minhash_lsh_pairs`, which replaces the full self-join with
     banded buckets.
     """
     sh = _distinct_shingles(df, k, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
@@ -110,11 +127,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(doc_id, signature array<bigint>)`` — MinHash over k-shingles.
 
-    Arrow-batched numpy implementation: shingle base hashes (crc32 —
-    deterministic across workers; python's builtin hash() is salted
-    per process and MUST NOT be used) x num_hashes affine
-    permutations as one (shingles x hashes) uint64 matrix, min along
-    axis 0.
+    Arrow-batched numpy implementation: shingle base hashes (the
+    first 8 md5 digest bytes, little-endian — deterministic across
+    workers, and equal to DuckDB's ``md5_number_upper`` so the LSH
+    pipeline has a value-exact SQL oracle; python's builtin hash()
+    is salted per process and MUST NOT be used) reduced mod p, then
+    x num_hashes affine permutations as one (shingles x hashes)
+    uint64 matrix, min along axis 0.
 
     A pure-Catalyst formulation (transform + array_min per
     permutation) was tried first: higher-order-function lambdas
@@ -122,8 +141,8 @@ def minhash_signatures(
     for 5.8M modular ops at sf0.1; this batch pass is ~50x faster.
     No shuffle either way; scales linearly with corpus size.
     """
+    import hashlib
     from collections.abc import Iterator
-    from zlib import crc32
 
     import numpy as np
     import pandas as pd
@@ -135,6 +154,10 @@ def minhash_signatures(
     b_arr = np.asarray(bv, dtype=np.uint64)
     p_mod = np.uint64(_P)
 
+    def base_hash64(s: str) -> int:
+        # == DuckDB md5_number_upper(s): first 8 digest bytes, LE
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             doc_ids, sigs = [], []
@@ -145,10 +168,13 @@ def minhash_signatures(
                 shingles = {
                     " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
                 }
-                base = np.asarray(
-                    [crc32(s.encode()) for s in shingles], dtype=np.uint64
+                base = (
+                    np.asarray(
+                        [base_hash64(s) for s in shingles], dtype=np.uint64
+                    )
+                    % p_mod
                 )
-                # (n_shingles, num_hashes): a*x+b < 2^62 fits uint64
+                # (n_shingles, num_hashes): a*(x mod p)+b < 2^62, exact
                 perms = (base[:, None] * a_arr[None, :] + b_arr[None, :]) % p_mod
                 doc_ids.append(doc_id)
                 sigs.append(perms.min(axis=0).astype(np.int64).tolist())
@@ -180,19 +206,23 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, k, num_hashes, seed, id_col, text_col)
+    # bucket key = the band's signature values joined as a string —
+    # NOT re-hashed (xxhash64 has no cross-engine twin, and the key is
+    # bounded at rows x ~10 digits, so the shuffle-width win of an
+    # 8-byte rehash is marginal; equality semantics are identical
+    # minus a ~2^-64 collision false-positive the exact-verify stage
+    # would kill anyway)
     buckets = sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"), bnd * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
+                lambda bnd: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), bnd * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
                 ),
             )
         ).alias("band", "bucket"),
@@ -243,8 +273,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """64-bit SimHash over tokens: ``(doc_id, simhash bigint)``.
 
     Per bit j: sign of sum over tokens of (+1 if bit j of the token
-    hash is set else -1). Token hash = sha1-derived 64-bit value
-    (deterministic across workers).
+    hash is set else -1). Token hash = first 8 md5 digest bytes,
+    little-endian (deterministic across workers and equal to DuckDB's
+    ``md5_number_upper``, giving the operator a value-exact SQL twin).
 
     Arrow-batched numpy: per doc, an (n_tokens x 64) sign matrix via
     unpackbits, summed along axis 0, sign bits repacked. The earlier
@@ -261,7 +292,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     from textalyzer_spark.functions.tokenize import tokenize_text
 
     def tok_hash64(tok: str) -> int:
-        return int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+        # == DuckDB md5_number_upper(tok): first 8 digest bytes, LE
+        return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}

@@ -320,7 +320,7 @@ def duplicate_blocks(
     min_lines: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_locations_per_line: int | None = None,
+    max_locations_per_line: int | None = 1000,
     resolve: bool = True,
     resolution: str = "components",
 ) -> DataFrame:
@@ -332,6 +332,16 @@ def duplicate_blocks(
     n_nonempty)`` ordered (n_nonempty desc, byte length desc, content
     asc). ``resolve=False`` skips the overlap-resolution stage and
     returns all maximal candidates.
+
+    ``max_locations_per_line`` (default ON at 1000) excludes trimmed
+    lines occurring more than that many times from the matching-pair
+    join — the skew guard: a token line like ``"}"`` at 10^6
+    occurrences would fan the seed self-join out to 10^12 rows. Effect
+    on results: a maximal run containing an over-cap line splits at
+    that line (its pair rows are absent), so only blocks glued
+    together by ultra-common filler can shrink — nothing changes
+    below pathological density. ``None`` restores exact reference
+    parity (documented deviation, FIXTURES.md §3).
 
     ``resolution='components'`` (default, the scale path) runs the
     greedy overlap resolution per connected component of the

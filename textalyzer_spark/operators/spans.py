@@ -216,7 +216,7 @@ def process_spans_exploded(nested: DataFrame) -> DataFrame:
             F.transform("tokens", syllables_col), F.lit(0), lambda acc, x: acc + x
         ),
     )
-    return (
+    reassembled = (
         enriched.groupBy("doc_id")
         .agg(
             F.transform(
@@ -241,6 +241,19 @@ def process_spans_exploded(nested: DataFrame) -> DataFrame:
             F.sum(F.size("tokens")).alias("n_tokens"),
             F.sum("span_syllables").alias("n_syllables"),
         )
+    )
+    # a doc whose spans array is empty emits no exploded rows and
+    # would silently vanish in the groupBy — left-join the result
+    # back onto the input doc_ids and fill zero metrics, matching
+    # process_spans/process_spans_fused exactly
+    span_type = nested.schema["spans"].dataType.simpleString()
+    return nested.select("doc_id").join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("spans", F.array().cast(span_type)).alias("spans"),
+        *[
+            F.coalesce(c, F.lit(0).cast("bigint")).alias(c)
+            for c in ("n_text_spans", "n_media_spans", "n_tokens", "n_syllables")
+        ],
     )
 
 

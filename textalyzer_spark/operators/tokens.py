@@ -99,11 +99,14 @@ def winnow_fingerprints(
                         axis=1
                     )
                 )
-                doc_ids.extend([str(doc_id)] * len(minima))
+                doc_ids.extend([doc_id] * len(minima))
                 fps.extend(minima.astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": doc_ids, "fingerprint": fps})
 
-    return df.mapInPandas(run, "doc_id string, fingerprint bigint")
+    # output id type follows the input id type (string fixtures AND the
+    # driver's int64 ids) — a hardcoded string schema silently casts
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.mapInPandas(run, f"doc_id {id_type}, fingerprint bigint")
 
 
 def winnow_near_dup_pairs(
