@@ -117,9 +117,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-verified (rows-only check:
-    xxhash64 has no DuckDB equivalent; recall is pytest-verified
-    against exact Jaccard in tests/test_dedup_similarity.py)."""
+    """MinHash+LSH near-dup pairs, exact-verified; value-exact DuckDB
+    twin in oracles.minhash_lsh_sql (same md5-LE8 base hash, affine
+    params, band buckets). Recall is additionally pytest-verified
+    against exact Jaccard in tests/test_dedup_similarity.py."""
     from textalyzer_spark.operators.dedup import minhash_lsh_pairs
 
     # 32 hashes / 8 bands (r=4): same S-curve shape, half the Catalyst
@@ -130,7 +131,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs, Hamming <= 6 (rows-only check)."""
+    """SimHash near-duplicate pairs, Hamming <= 6; value-exact DuckDB
+    twin in oracles.simhash_pairs_sql (brute-force over the same
+    simhash values — the pigeonhole banding is recall-complete, so
+    the output sets are identical by construction)."""
     from textalyzer_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
@@ -150,8 +154,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN top-5 (rows-only check; recall vs
-    brute force is pytest-verified)."""
+    """Random-hyperplane LSH ANN top-5; value-exact DuckDB twin in
+    oracles.lsh_cosine_topk_sql (identical hyperplane constants
+    embedded as SQL literals). Recall vs brute force pytest-verified."""
     from textalyzer_spark.operators.similarity import lsh_cosine_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -162,10 +167,25 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=5, dim=64, n_bits=8, n_tables=4)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the registered scale
+    path (equi-join on hyperplane buckets, NO cartesian product in
+    the plan), exact-cosine-verified so precision is exact. n_bits=4 /
+    n_tables=16 targets ~0.9 recall at this corpus's low threshold
+    (0.35; near-uniform synthetic vectors) — real near-dup corpora run
+    threshold >=0.9 where fewer, wider tables prune far harder."""
+    from textalyzer_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(
+        _embeddings(spark, sf_dir), threshold=0.35, dim=64, n_bits=4, n_tables=16
+    )
+
+
 def q_line_display_width(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line display-width histogram via the Arrow-batched wcwidth UDF
-    (rows-only check: no DuckDB display-width; Unicode fixtures are
-    pytest-verified)."""
+    """Line display-width histogram via the Arrow-batched wcwidth UDF;
+    value-exact DuckDB twin in oracles.line_display_width_sql (the
+    wcwidth range table is generated from the same _char_width and
+    ASOF-joined per character). Unicode fixtures pytest-verified."""
     from textalyzer_spark.operators.line_length import line_length_histogram
 
     return line_length_histogram(_docs(spark, sf_dir), use_display_width=True)
@@ -197,8 +217,10 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash near-dup pairs (rows-only: xxhash64 has
-    no DuckDB twin; guarantees pytest-verified)."""
+    """Winnowing rolling-hash near-dup pairs; value-exact DuckDB twin
+    in oracles.winnow_pairs_sql (direct polynomial k-gram hash mod M
+    in HUGEINT == the engine's incremental rolling form). Schleimer
+    guarantees additionally pytest-verified."""
     from textalyzer_spark.operators.tokens import winnow_near_dup_pairs
 
     return winnow_near_dup_pairs(_docs(spark, sf_dir), min_shared=3, min_overlap=0.5)
@@ -241,8 +263,10 @@ def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means cell probe) ANN top-5 (rows-only check; recall vs
-    brute force is pytest-verified on a clustered corpus)."""
+    """IVF (k-means cell probe) ANN top-5; value-exact DuckDB twin in
+    oracles.ivf_cosine_topk_sql (the mini k-means is unrolled into
+    assign/update CTEs; quantized centroid updates pin the float
+    semantics cross-engine). Recall vs brute force pytest-verified."""
     from textalyzer_spark.operators.similarity import ivf_cosine_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -269,6 +293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": q_winnow_pairs,
     "char_frequency": q_char_frequency,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "duplicate_block_candidates": q_duplicate_block_candidates,
     "word_frequency": q_word_frequency,
@@ -299,8 +324,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-dialect ANSI SQL equivalents over the same parquet views."""
-    return {
+    """DuckDB-dialect ANSI SQL equivalents over the same parquet views.
+
+    The hash/LSH family oracles are GENERATED from the same constants
+    the Spark operators use (textalyzer_spark/oracles.py) — affine
+    minhash params, hyperplane components, rolling-hash powers, and
+    the wcwidth range table are embedded as SQL literals."""
+    from textalyzer_spark import oracles as _o
+
+    generated = {
+        "minhash_lsh": _o.minhash_lsh_sql(
+            k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+        ),
+        "simhash_pairs": _o.simhash_pairs_sql(max_hamming=6),
+        "winnow_pairs": _o.winnow_pairs_sql(
+            k=8, window=4, min_shared=3, min_overlap=0.5, max_doc_freq=50
+        ),
+        "lsh_cosine_topk": _o.lsh_cosine_topk_sql(
+            k=5, dim=64, n_bits=8, n_tables=4, seed=42, query_mod=50
+        ),
+        "ivf_cosine_topk": _o.ivf_cosine_topk_sql(
+            k=5, n_clusters=16, n_probe=4, iters=3, query_mod=50
+        ),
+        "embedding_near_dup_lsh": _o.embedding_near_dup_lsh_sql(
+            threshold=0.35, dim=64, n_bits=4, n_tables=16, seed=42
+        ),
+        "line_display_width": _o.line_display_width_sql(),
+    }
+    return generated | {
         "duplicate_block_candidates": r"""
             WITH docs AS (
               SELECT doc_id,

@@ -166,3 +166,45 @@ def test_lsh_cosine_topk_recall(spark):
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     # every returned neighbor must be correctly scored & a real vector
     assert len(approx_set & exact_set) >= 0.5 * len(exact_set)
+
+
+def test_embedding_near_dup_lsh_precision_and_recall(spark):
+    """The LSH-bucketed near-dup path: precision is exact by
+    construction (every candidate is verified with the true cosine);
+    recall vs the brute-force baseline follows the S-curve and must
+    clear the configured target on planted near-duplicates."""
+    import random
+
+    from textalyzer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        # planted near-duplicate: tiny perturbation -> cosine ~0.999
+        rows.append((1000 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    lsh_rows = embedding_near_dup_pairs_lsh(
+        df, threshold=0.95, dim=dim, n_bits=8, n_tables=4
+    ).collect()
+    lsh = {(r["vec_a"], r["vec_b"]) for r in lsh_rows}
+
+    assert lsh <= brute  # exact precision: no false positives
+    assert len(brute) >= 30  # the plant worked
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+    # plan shape: candidate generation is an equi-join, not a cartesian
+    plan = embedding_near_dup_pairs_lsh(
+        df, threshold=0.95, dim=dim, n_bits=8, n_tables=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

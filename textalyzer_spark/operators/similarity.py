@@ -109,6 +109,55 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed embedding near-duplicate pairs — the scale path
+    :func:`embedding_near_dup_pairs`'s docstring promises:
+    ``(vec_a, vec_b, cosine)``, vec_a < vec_b, cosine rounded to 4
+    decimals.
+
+    Candidate generation: vectors colliding in >=1 of ``n_tables``
+    hyperplane-sign buckets (an equi-join on (table, bucket) — NO
+    cartesian product in the plan). Candidates are exact-verified
+    with the true cosine, so precision is exact; recall follows the
+    (1 - theta/pi)^n_bits S-curve and is pytest-measured against the
+    brute-force baseline. At a real near-dup threshold (>=0.9,
+    theta <= 26 deg) recall is high and the bucket join touches a
+    vanishing fraction of the n^2 pairs; tune n_bits up with corpus
+    size to keep buckets small.
+    """
+    vs = _hyperplane_buckets(
+        vectors.withColumnRenamed(id_col, "vec_id"),
+        "vec_id", dim, n_bits, n_tables, seed, vec_col,
+    )
+    a = vs.select("table", "bucket", F.col("vec_id").alias("vec_a"),
+                  F.col("_vec_vec_id").alias("va"))
+    b = vs.select("table", "bucket", F.col("vec_id").alias("vec_b"),
+                  F.col("_vec_vec_id").alias("vb"))
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by cosine (JVM-side argmax over
     broadcast centroid literals).
@@ -125,6 +174,15 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
         for i, cen in enumerate(centroids)
     ]
     return F.array_max(F.array(*structs))["cluster"]
+
+
+def _quantize(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 — a rounding both engines compute
+    bit-identically (Python round() is banker's, DuckDB round() is
+    half-away; floor is floor everywhere)."""
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
 def ivf_cosine_topk(
@@ -148,6 +206,15 @@ def ivf_cosine_topk(
     (cluster, dim). Scored fraction ~= n_probe / n_clusters; recall
     depends on how clustered the corpus is (pytest-checked vs brute
     force).
+
+    Updated centroids are quantized to 1e-6 (:func:`_quantize`) each
+    iteration: floating-point partial-sum order in a distributed avg
+    is nondeterministic (shuffle-fetch order), so unquantized
+    centroids differ in the last ulp run-to-run AND engine-to-engine.
+    Quantization makes the quantizer reproducible — and gives the
+    whole operator a value-exact DuckDB twin (oracles.py unrolls the
+    same k-means as chained CTEs). 1e-6 jitter on a coarse quantizer
+    is semantically nil.
     """
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -169,7 +236,7 @@ def ivf_cosine_topk(
         )
         new_cents = {}
         for r in sums:
-            new_cents.setdefault(r["cluster"], {})[r["dim"]] = r["mean"]
+            new_cents.setdefault(r["cluster"], {})[r["dim"]] = _quantize(r["mean"])
         centroids = [
             [new_cents[c][d] for d in sorted(new_cents[c])]
             if c in new_cents
@@ -224,33 +291,91 @@ def ivf_cosine_topk(
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     """Seeded pseudo-random hyperplanes, precomputed driver-side.
 
-    Components land in Catalyst as array literals — no per-row hash
-    arithmetic, identical on every executor, no stored model."""
+    Deterministic from the seed, identical on every executor, no
+    stored model. The same constants are embedded (full-precision
+    repr) in the DuckDB oracle SQL, so the bucket assignment has a
+    value-exact cross-engine twin."""
     import random
 
     rng = random.Random(seed)
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
-def _hyperplane_bits(vec: Column, dim: int, n_bits: int, seed: int) -> Column:
-    """Sign-bit signature of ``vec`` against the seeded hyperplanes."""
-    planes = _hyperplanes(dim, n_bits, seed)
-    return F.array(
-        *[
-            (
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(c) for c in plane]),
-                        lambda x, h: x * h,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+def lsh_table_planes(
+    dim: int, n_bits: int, n_tables: int, seed: int
+) -> list[list[list[float]]]:
+    """Per-table hyperplane sets; table t uses seed + 7919*t (reusing
+    one signature across tables would make every table identical)."""
+    return [
+        _hyperplanes(dim, n_bits, seed + 7919 * t) for t in range(n_tables)
+    ]
+
+
+def _hyperplane_buckets(
+    df: DataFrame,
+    id_alias: str,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, _vec_<id> array<double>, table int, bucket string)`` —
+    one row per (vector, table); bucket is the n_bits sign-bit string
+    of the vector against that table's hyperplanes.
+
+    Arrow-batched numpy: ONE matmul of the (batch x dim) matrix
+    against the stacked (n_tables*n_bits x dim) plane matrix per
+    batch. The previous Catalyst higher-order-function formulation
+    ran interpreted (outside whole-stage codegen) at n_tables x
+    n_bits x dim ~ 2k multiplies per row and was slower than the
+    brute-force scorer it was meant to beat (BENCH.md lesson)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    planes = lsh_table_planes(dim, n_bits, n_tables, seed)
+    p_mat = np.asarray(planes, dtype=np.float64).reshape(n_tables * n_bits, dim)
+    vec_field = f"_vec_{id_alias}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_field]]
+            )
+            signs = (mat @ p_mat.T) > 0  # (batch, n_tables*n_bits)
+            bucket_cols = []
+            for t in range(n_tables):
+                bits = signs[:, t * n_bits : (t + 1) * n_bits].astype(np.uint8)
+                bucket_cols.append(
+                    ["".join("1" if b else "0" for b in row) for row in bits]
                 )
-                > 0
-            ).cast("int")
-            for plane in planes
-        ]
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_alias],
+                    vec_field: pdf[vec_field],
+                    "buckets": [
+                        [bucket_cols[t][i] for t in range(n_tables)]
+                        for i in range(len(pdf))
+                    ],
+                }
+            )
+
+    id_type = dict(df.dtypes).get(id_alias, "bigint")
+    wide = df.select(
+        F.col(id_alias),
+        F.col(vec_col).cast("array<double>").alias(vec_field),
+    ).mapInPandas(
+        run,
+        f"{id_alias} {id_type}, {vec_field} array<double>, buckets array<string>",
+    )
+    return wide.select(
+        id_alias,
+        vec_field,
+        F.posexplode("buckets").alias("table", "bucket"),
     )
 
 
@@ -274,29 +399,14 @@ def lsh_cosine_topk(
     ~(1 - theta/pi)^n_bits for angle theta. Scoring + top-k identical
     to :func:`cosine_topk`, so output schema/ordering match exactly.
     """
-    # each table's bits come from a distinct seed (reusing one
-    # signature across tables would make every table identical)
-    def signed_multi(df: DataFrame, id_alias: str) -> DataFrame:
-        vec = F.col(vec_col).cast("array<double>")
-        parts = []
-        for t in range(n_tables):
-            bits = _hyperplane_bits(vec, dim, n_bits, seed + 7919 * t)
-            parts.append(
-                F.struct(
-                    F.lit(t).alias("table"),
-                    F.concat_ws(
-                        "", F.transform(bits, lambda x: x.cast("string"))
-                    ).alias("bucket"),
-                )
-            )
-        return df.select(
-            F.col(id_alias).alias(id_alias),
-            vec.alias(f"_vec_{id_alias}"),
-            F.explode(F.array(*parts)).alias("tb"),
-        ).select(id_alias, f"_vec_{id_alias}", "tb.table", "tb.bucket")
-
-    vs = signed_multi(vectors.withColumnRenamed(id_col, "vec_id"), "vec_id")
-    qs = signed_multi(queries.withColumnRenamed(query_id_col, "query_id"), "query_id")
+    vs = _hyperplane_buckets(
+        vectors.withColumnRenamed(id_col, "vec_id"),
+        "vec_id", dim, n_bits, n_tables, seed, vec_col,
+    )
+    qs = _hyperplane_buckets(
+        queries.withColumnRenamed(query_id_col, "query_id"),
+        "query_id", dim, n_bits, n_tables, seed, vec_col,
+    )
     cands = (
         vs.join(F.broadcast(qs), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))

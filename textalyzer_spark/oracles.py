@@ -1,0 +1,476 @@
+"""Generated DuckDB oracle SQL for the hash/LSH operator family.
+
+These oracles are *derived from the same constants* the Spark
+operators use (minhash affine params, LSH hyperplanes, rolling-hash
+base/modulus, the wcwidth table), embedded as SQL literals at full
+precision — so the driver's DuckDB gate checks the operators
+value-exactly instead of rows-only.
+
+Cross-engine hash contract (why these are expressible at all):
+every distributed hash in the engine is md5-derived —
+``int.from_bytes(md5(s).digest()[:8], "little")`` on the Python/Arrow
+side == ``md5_number_upper(s)`` in DuckDB 1.0. No xxhash64/crc32/sha1
+anywhere in an oracled path (those have no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+
+def _values_rows(rows: list[tuple]) -> str:
+    return ",\n      ".join(
+        "(" + ", ".join(str(v) for v in row) + ")" for row in rows
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH (operators/dedup.py: minhash_lsh_pairs)
+# --------------------------------------------------------------------------
+
+
+def minhash_lsh_sql(
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    seed: int = 42,
+) -> str:
+    """Value-exact twin of ``minhash_lsh_pairs``: same affine params,
+    same signatures, same band buckets, same exact-Jaccard verify."""
+    from textalyzer_spark.operators.dedup import _P, _hash_params
+
+    av, bv = _hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+    params = _values_rows([(i, av[i], bv[i]) for i in range(num_hashes)])
+    lead_join = " || ' ' || ".join(
+        ["w"] + [f"lead(w,{j}) OVER win" for j in range(1, k)]
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+                 generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, {lead_join} AS shingle
+          FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), shn AS (
+          SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+        ), params(i, a, b) AS (VALUES
+      {params}
+        ), base AS (
+          -- md5_number_upper == the engine's md5-LE8 base hash, mod p
+          SELECT doc_id,
+                 CAST(md5_number_upper(shingle) % {_P} AS BIGINT) AS x
+          FROM shn
+        ), sig AS (
+          SELECT doc_id, p.i, min((x * p.a + p.b) % {_P}) AS h
+          FROM base CROSS JOIN params p
+          GROUP BY doc_id, p.i
+        ), bnd AS (
+          SELECT doc_id, i // {rows} AS band,
+                 string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+          FROM sig GROUP BY doc_id, i // {rows}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shn a ON a.doc_id = c.doc_a
+          JOIN shn b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+              >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# SimHash near pairs (operators/dedup.py: simhash_near_pairs)
+# --------------------------------------------------------------------------
+
+
+def simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """Brute-force twin of ``simhash_near_pairs``. The Spark side's
+    pigeonhole banding is recall-COMPLETE for Hamming <= max_hamming
+    (any such pair collides on >=1 exact chunk), so all-pairs over
+    the same simhash values defines the identical output set."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents
+        ), bits AS (
+          -- per (doc, bit j): sum over ALL tokens of +/-1 on bit j of
+          -- the token's md5-LE8 hash (multiplicity preserved)
+          SELECT doc_id, j,
+                 sum(CASE WHEN (md5_number_upper(w) >> j) & 1 = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j)
+          GROUP BY doc_id, j
+        ), sims AS (
+          -- bit j set iff s > 0 (strict); bit 63 is the sign bit of
+          -- the engine's int64 representation
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s <= 0 THEN 0
+                          WHEN j = 63 THEN -9223372036854775808
+                          ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT)
+                   AS simhash
+          FROM bits GROUP BY doc_id
+        ), allsim AS (
+          -- zero-token docs get simhash 0, like the engine
+          SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN sims s USING (doc_id)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (operators/tokens.py: winnow_near_dup_pairs)
+# --------------------------------------------------------------------------
+
+
+def winnow_pairs_sql(
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    min_overlap: float = 0.5,
+    max_doc_freq: int = 50,
+) -> str:
+    """Value-exact twin of ``winnow_near_dup_pairs``: the polynomial
+    rolling hash is plain modular arithmetic — the direct k-term
+    polynomial mod M (HUGEINT) equals the engine's incremental
+    rolling form, and the sliding-window minimum is a window MIN."""
+    from textalyzer_spark.operators.tokens import _ROLL_B, _ROLL_M
+
+    # h(pos) = sum_j byte(pos+j) * B^(k-1-j)  mod M
+    pows = [pow(_ROLL_B, k - 1 - j, _ROLL_M) for j in range(k)]
+    terms = " + ".join(
+        f"CAST({'b' if j == 0 else f'lead(b,{j}) OVER w'} AS HUGEINT)"
+        f" * CAST('{pows[j]}' AS HUGEINT)"
+        for j in range(k)
+    )
+    return f"""
+        WITH chars AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(text), '')) AS c,
+                 generate_subscripts(string_split(lower(text), ''), 1) AS pos
+          FROM documents
+        ), bytes AS (
+          -- corpus is ASCII, so codepoint == utf-8 byte (the engine
+          -- hashes utf-8 bytes); ascii() gives the codepoint
+          SELECT doc_id, pos, ascii(c) AS b FROM chars
+        ), kg AS (
+          SELECT doc_id, pos,
+                 CAST(({terms}) % CAST('{_ROLL_M}' AS HUGEINT) AS BIGINT) AS h
+          FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(b, {k - 1}) OVER w IS NOT NULL
+        ), wmin AS (
+          SELECT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {window - 1} FOLLOWING) AS fp,
+                 lead(h, {window - 1})
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS guard
+          FROM kg QUALIFY guard IS NOT NULL
+        ), fps AS (
+          SELECT DISTINCT doc_id, fp FROM wmin
+        ), sizes AS (
+          -- sizes BEFORE the doc-freq drop (overlap stays a true fraction)
+          SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1
+        ), kept AS (
+          SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_doc_freq}
+        ), fpk AS (
+          SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp)
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= {min_shared}
+        )
+        SELECT doc_a, doc_b, n_shared,
+               round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+                 AS overlap
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+              >= {min_overlap}
+    """
+
+
+# --------------------------------------------------------------------------
+# Hyperplane LSH (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+
+def _plane_literal(plane: list[float]) -> str:
+    # repr() round-trips float64 exactly; the oracle sees bit-identical
+    # hyperplane components
+    return "[" + ", ".join(repr(c) for c in plane) + "]"
+
+
+def _bucket_expr(planes: list[list[float]], vec: str = "e") -> str:
+    return " || ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_plane_literal(p)}) > 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+def _buckets_cte(
+    dim: int, n_bits: int, n_tables: int, seed: int
+) -> str:
+    from textalyzer_spark.operators.similarity import lsh_table_planes
+
+    tables = lsh_table_planes(dim, n_bits, n_tables, seed)
+    selects = [
+        f"SELECT vec_id, e, {t} AS tbl, {_bucket_expr(planes)} AS bucket FROM v"
+        for t, planes in enumerate(tables)
+    ]
+    return "\n          UNION ALL ".join(selects)
+
+
+def lsh_cosine_topk_sql(
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    query_mod: int = 50,
+) -> str:
+    """Value-exact twin of ``lsh_cosine_topk`` over the embeddings
+    table with queries = (vec_id % query_mod == 0), hyperplane
+    constants embedded at full precision."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), buck AS (
+          {_buckets_cte(dim, n_bits, n_tables, seed)}
+        ), qb AS (
+          SELECT vec_id AS query_id, tbl, bucket FROM buck
+          WHERE vec_id % {query_mod} = 0
+        ), cand AS (
+          SELECT DISTINCT q.query_id, b.vec_id
+          FROM qb q JOIN buck b
+            ON q.tbl = b.tbl AND q.bucket = b.bucket
+           AND b.vec_id <> q.query_id
+        ), scored AS (
+          SELECT c.query_id, c.vec_id,
+                 round(list_dot_product(qv.e, vv.e)
+                       / (sqrt(list_dot_product(qv.e, qv.e))
+                          * sqrt(list_dot_product(vv.e, vv.e))), 4) AS cosine
+          FROM cand c
+          JOIN v qv ON qv.vec_id = c.query_id
+          JOIN v vv ON vv.vec_id = c.vec_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def embedding_near_dup_lsh_sql(
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> str:
+    """Value-exact twin of ``embedding_near_dup_pairs_lsh``."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), buck AS (
+          {_buckets_cte(dim, n_bits, n_tables, seed)}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM buck a JOIN buck b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(va.e, vb.e)
+                     / (sqrt(list_dot_product(va.e, va.e))
+                        * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cosine
+        FROM cand c
+        JOIN v va ON va.vec_id = c.vec_a
+        JOIN v vb ON vb.vec_id = c.vec_b
+        WHERE round(list_dot_product(va.e, vb.e)
+                    / (sqrt(list_dot_product(va.e, va.e))
+                       * sqrt(list_dot_product(vb.e, vb.e))), 4) >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# IVF ANN (operators/similarity.py: ivf_cosine_topk)
+# --------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _assign_cte(prev_c: str, name: str) -> str:
+    """Nearest-centroid assignment: argmax cosine, ties -> larger
+    cluster index (mirrors Spark's array_max over (sim, cluster)
+    structs)."""
+    cos = _COS.format(a="v.e", b="c.ce")
+    return f"""{name} AS (
+          SELECT vec_id, e, cluster FROM (
+            SELECT v.vec_id, v.e, c.cluster,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {cos} DESC, c.cluster DESC) AS rn
+            FROM v CROSS JOIN {prev_c} c
+          ) WHERE rn = 1
+        )"""
+
+
+def _update_cte(assign: str, prev_c: str, uname: str, cname: str) -> str:
+    """Mean-update with the cross-engine quantization floor(x*1e6+0.5)
+    /1e6 (similarity._quantize); empty clusters keep their previous
+    centroid."""
+    return f"""{uname} AS (
+          SELECT cluster, list(m ORDER BY dim) AS ce FROM (
+            SELECT cluster, dim, floor(avg(val)*1000000 + 0.5)/1000000 AS m
+            FROM (
+              SELECT cluster, unnest(e) AS val,
+                     generate_subscripts(e, 1) AS dim
+              FROM {assign}
+            ) GROUP BY cluster, dim
+          ) GROUP BY cluster
+        ), {cname} AS (
+          SELECT p.cluster, coalesce(u.ce, p.ce) AS ce
+          FROM {prev_c} p LEFT JOIN {uname} u USING (cluster)
+        )"""
+
+
+def ivf_cosine_topk_sql(
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    query_mod: int = 50,
+) -> str:
+    """Value-exact twin of ``ivf_cosine_topk`` over the embeddings
+    table: the driver-loop mini k-means is unrolled into ``iters``
+    assign/update CTE pairs (deterministic init = first n_clusters
+    vectors by id, quantized mean updates, pinned argmax tiebreaks)."""
+    ctes = [
+        f"""v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS ce
+          FROM v ORDER BY vec_id LIMIT {n_clusters}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(_assign_cte(f"c{i - 1}", f"a{i}"))
+        ctes.append(_update_cte(f"a{i}", f"c{i - 1}", f"u{i}", f"c{i}"))
+    final_c = f"c{iters}"
+    ctes.append(_assign_cte(final_c, "af"))
+    qcos = _COS.format(a="q.qe", b="c.ce")
+    scos = _COS.format(a="qp.qe", b="a.e")
+    ctes.append(f"""q AS (
+          SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id % {query_mod} = 0
+        ), qprobe AS (
+          SELECT query_id, qe, cluster FROM (
+            SELECT q.query_id, q.qe, c.cluster,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {qcos} DESC, c.cluster DESC) AS rn
+            FROM q CROSS JOIN {final_c} c
+          ) WHERE rn <= {n_probe}
+        ), scored AS (
+          SELECT DISTINCT qp.query_id, a.vec_id,
+                 round({scos}, 4) AS cosine
+          FROM qprobe qp
+          JOIN af a ON a.cluster = qp.cluster AND a.vec_id <> qp.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored
+        )""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT query_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+# --------------------------------------------------------------------------
+# Display width (functions/width.py)
+# --------------------------------------------------------------------------
+
+
+def _width_ranges() -> list[tuple[int, int]]:
+    """(range_start, width) pairs covering the whole Unicode space
+    contiguously (each range runs to the next start), generated from
+    the SAME _char_width the engine's Arrow UDF uses — the oracle and
+    the UDF cannot drift apart."""
+    from textalyzer_spark.functions.width import _char_width
+
+    ranges: list[tuple[int, int]] = [(0, _char_width(chr(0)))]
+    for cp in range(1, 0x110000):
+        w = _char_width(chr(cp))
+        if w != ranges[-1][1]:
+            ranges.append((cp, w))
+    return ranges
+
+
+def line_display_width_sql() -> str:
+    """Twin of the display-width line histogram: per-char width via an
+    ASOF join against the generated wcwidth range table (every
+    codepoint falls in exactly one range: greatest lo <= codepoint)."""
+    rows = _values_rows(_width_ranges())
+    return f"""
+        WITH widths(lo, w) AS (VALUES
+      {rows}
+        ), lines AS (
+          SELECT row_number() OVER () AS line_id,
+                 regexp_replace(raw_line, chr(13) || '$', '') AS line
+          FROM (
+            SELECT unnest(string_split(regexp_replace(text, '\\n$', ''), chr(10)))
+                     AS raw_line
+            FROM documents
+            WHERE length(regexp_replace(text, '\\n$', '')) > 0
+          )
+        ), chars AS (
+          SELECT line_id,
+                 ascii(c) AS cp
+          FROM (
+            SELECT line_id, unnest(string_split(line, '')) AS c FROM lines
+          )
+        ), cw AS (
+          SELECT chars.line_id, widths.w
+          FROM chars ASOF JOIN widths ON chars.cp >= widths.lo
+        ), line_widths AS (
+          SELECT l.line_id, CAST(coalesce(sum(cw.w), 0) AS INTEGER) AS width
+          FROM lines l LEFT JOIN cw ON cw.line_id = l.line_id
+          GROUP BY l.line_id
+        )
+        SELECT width AS length, count(*) AS count
+        FROM line_widths
+        GROUP BY 1
+        ORDER BY 1
+    """
