@@ -231,18 +231,13 @@ def q_duplicate_block_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seed self-join -> gaps-and-islands maximal runs -> gated dedented
     candidates), run over a line-structured corpus synthesized from
     the flat table (newline every 8 tokens). Output: one row per
-    (content, location) with >= 3 non-empty lines. The greedy overlap
-    resolution stage is inherently sequential (not SQL-expressible)
-    and is fixture-tested instead (tests/test_duplication.py)."""
+    (content, location) with >= 3 non-empty lines. The resolution
+    stage is gate-checked separately (q_duplicate_blocks_resolved)."""
     from textalyzer_spark.operators.duplication import duplicate_blocks
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.regexp_replace(F.col("text"), r"((\S+\s+){7}\S+)\s+", "$1\n").alias(
-            "text"
-        ),
+    cands = duplicate_blocks(
+        _line_structured_docs(spark, sf_dir), min_lines=3, resolve=False
     )
-    cands = duplicate_blocks(docs, min_lines=3, resolve=False)
     return (
         cands.select("content", F.explode("locations").alias("l"))
         .select(
@@ -251,6 +246,36 @@ def q_duplicate_block_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.line").alias("line"),
         )
         .distinct()
+    )
+
+
+def _line_structured_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-structured corpus synthesized from the flat table
+    (newline every 8 tokens) — shared by the duplication queries."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((\S+\s+){7}\S+)\s+", "$1\n").alias(
+            "text"
+        ),
+    )
+
+
+def q_duplicate_blocks_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship operator END-TO-END: candidates + the greedy
+    overlap-resolution stage (reference duplication.rs:298-336), one
+    row per surviving (content, doc_id, line). The DuckDB twin
+    (oracles.duplicate_blocks_resolved_sql) replays the same pinned
+    claim order as a recursive CTE, so the gate now checks the final
+    answer, not just the candidate set."""
+    from textalyzer_spark.operators.duplication import duplicate_blocks
+
+    res = duplicate_blocks(
+        _line_structured_docs(spark, sf_dir), min_lines=3, resolve=True
+    )
+    return res.select("content", F.explode("locations").alias("l")).select(
+        "content",
+        F.col("l.doc_id").alias("doc_id"),
+        F.col("l.line").alias("line"),
     )
 
 
@@ -296,6 +321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "duplicate_block_candidates": q_duplicate_block_candidates,
+    "duplicate_blocks_resolved": q_duplicate_blocks_resolved,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
@@ -350,83 +376,14 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.35, dim=64, n_bits=4, n_tables=16, seed=42
         ),
         "line_display_width": _o.line_display_width_sql(),
+        "duplicate_block_candidates": _o.duplicate_block_candidates_sql(
+            max_locations_per_line=1000, min_lines=3
+        ),
+        "duplicate_blocks_resolved": _o.duplicate_blocks_resolved_sql(
+            max_locations_per_line=1000, min_lines=3
+        ),
     }
     return generated | {
-        "duplicate_block_candidates": r"""
-            WITH docs AS (
-              SELECT doc_id,
-                     regexp_replace(text, '((\S+\s+){7}\S+)\s+',
-                                    '\1' || chr(10), 'g') AS text
-              FROM documents
-            ), raw AS (
-              SELECT doc_id,
-                     unnest(string_split(text, chr(10))) AS line,
-                     generate_subscripts(string_split(text, chr(10)), 1) AS line_number
-              FROM docs
-            ), lines AS (
-              SELECT doc_id, CAST(line_number AS INTEGER) AS line_number,
-                     line, trim(line) AS trimmed
-              FROM raw
-            ), ne AS (
-              SELECT * FROM lines WHERE trimmed <> ''
-            ), dupk AS (
-              -- > 1: duplicate seeds; <= 1000 mirrors the engine's
-              -- max_locations_per_line skew guard (default ON)
-              SELECT trimmed FROM ne GROUP BY trimmed
-              HAVING count(*) > 1 AND count(*) <= 1000
-            ), duploc AS (
-              SELECT ne.doc_id, ne.line_number, ne.trimmed
-              FROM ne JOIN dupk USING (trimmed)
-            ), pairs AS (
-              SELECT a.doc_id AS da, a.line_number AS la,
-                     b.doc_id AS db, b.line_number AS lb
-              FROM duploc a JOIN duploc b ON a.trimmed = b.trimmed
-               AND (a.doc_id < b.doc_id
-                    OR (a.doc_id = b.doc_id AND a.line_number < b.line_number))
-            ), isl AS (
-              SELECT da, db, la, lb, la - lb AS delta,
-                     la - row_number() OVER (PARTITION BY da, db, la - lb
-                                             ORDER BY la) AS grp
-              FROM pairs
-            ), runs AS (
-              SELECT da, db, min(la) AS start_a, min(lb) AS start_b,
-                     count(*) AS n_lines
-              FROM isl GROUP BY da, db, delta, grp
-            ), occ AS (
-              SELECT da AS doc_id, start_a AS start, n_lines,
-                     db AS o_doc, start_b AS o_start FROM runs
-              UNION ALL
-              SELECT db, start_b, n_lines, da, start_a FROM runs
-            ), occ_lines AS (
-              SELECT o.doc_id, o.start, o.n_lines, o.o_doc, o.o_start,
-                     l.line_number, l.line, l.trimmed
-              FROM occ o JOIN lines l ON l.doc_id = o.doc_id
-               AND l.line_number BETWEEN o.start AND o.start + o.n_lines - 1
-            ), occmeta AS (
-              SELECT doc_id, start, n_lines, o_doc, o_start,
-                bool_or(line_number = start AND line = trimmed
-                        AND trimmed <> '') AS gate,
-                min(CASE WHEN trimmed <> ''
-                         THEN length(line) - length(ltrim(line)) END) AS min_indent
-              FROM occ_lines GROUP BY 1, 2, 3, 4, 5
-            ), contents AS (
-              SELECT m.doc_id, m.start, m.o_doc, m.o_start,
-                     string_agg(substr(l.line, m.min_indent + 1), chr(10)
-                                ORDER BY l.line_number) AS content
-              FROM occmeta m JOIN lines l ON l.doc_id = m.doc_id
-               AND l.line_number BETWEEN m.start AND m.start + m.n_lines - 1
-              WHERE m.gate
-              GROUP BY 1, 2, 3, 4
-            ), locs AS (
-              SELECT content, doc_id, CAST(start AS INTEGER) AS line FROM contents
-              UNION
-              SELECT content, o_doc, CAST(o_start AS INTEGER) FROM contents
-            )
-            SELECT DISTINCT content, doc_id, line
-            FROM locs
-            WHERE len(list_filter(string_split(content, chr(10)),
-                                  x -> trim(x) <> '')) >= 3
-        """,
         "char_frequency": """
             WITH chars AS (
               SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z]+', '', 'g'), '')) AS ch

@@ -54,6 +54,8 @@ def main() -> None:
         "simhash_pairs",
         "cosine_topk",
         "lsh_cosine_topk",
+        "embedding_near_dup_lsh",
+        "ivf_cosine_topk",
         "token_counts",
         "winnow_pairs",
         "events_windowed",

@@ -158,22 +158,43 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid by cosine (JVM-side argmax over
-    broadcast centroid literals).
+def _assign_nearest(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """``(vec_id, vec, cluster int)`` — nearest centroid by cosine;
+    ties pick the LARGEST cluster index (the same pinned tiebreak as
+    the DuckDB oracle's ``ORDER BY sim DESC, cluster DESC``).
 
-    Implemented as array_max over (sim, idx) structs — a chained
-    when/otherwise argmax would reference the running best twice per
-    step and the expression tree doubles per centroid (2^n nodes; 16
-    centroids OOM'd the driver at plan build)."""
-    structs = [
-        F.struct(
-            _cosine(vec, F.array(*[F.lit(c) for c in cen])).alias("sim"),
-            F.lit(i).alias("cluster"),
-        )
-        for i, cen in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*structs))["cluster"]
+    Arrow-batched numpy: one (batch x n_clusters) matmul per batch.
+    The previous Catalyst formulation (array_max over per-centroid
+    higher-order-function cosines) ran interpreted at n_clusters x
+    2*dim ops per row — the engine's no-interpreted-HOF rule applies
+    to the quantizer too."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    n_clusters = len(centroids)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+            v_norm = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ c_mat.T) / (v_norm[:, None] * c_norm[None, :])
+            # argmax with ties -> largest index: argmax on the reversed
+            # axis finds the FIRST max there, i.e. the last one here
+            cluster = n_clusters - 1 - np.argmax(sims[:, ::-1], axis=1)
+            out = pdf[["vec_id", "vec"]].copy()
+            out["cluster"] = cluster.astype(np.int32)
+            yield out
+
+    id_type = dict(v.dtypes).get("vec_id", "bigint")
+    return v.mapInPandas(
+        run, f"vec_id {id_type}, vec array<double>, cluster int"
+    )
 
 
 def _quantize(x: float) -> float:
@@ -225,7 +246,7 @@ def ivf_cosine_topk(
     centroids = [list(r["vec"]) for r in init]
 
     for _ in range(iters):
-        assigned = v.withColumn("cluster", _nearest_centroid(F.col("vec"), centroids))
+        assigned = _assign_nearest(v, centroids)
         sums = (
             assigned.select(
                 "cluster", F.posexplode("vec").alias("dim", "val")
@@ -244,7 +265,7 @@ def ivf_cosine_topk(
             for c in range(n_clusters)
         ]
 
-    assigned = v.withColumn("cluster", _nearest_centroid(F.col("vec"), centroids))
+    assigned = _assign_nearest(v, centroids)
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

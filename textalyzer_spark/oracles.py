@@ -319,6 +319,166 @@ def embedding_near_dup_lsh_sql(
 
 
 # --------------------------------------------------------------------------
+# Multi-line duplication (operators/duplication.py: duplicate_blocks)
+# --------------------------------------------------------------------------
+
+
+def _dup_candidates_ctes(max_locations_per_line: int = 1000) -> str:
+    """Shared CTE chain: synthesized line corpus (newline every 8
+    tokens) -> duplicate-line seeds (with the skew cap) -> pairs ->
+    gaps-and-islands maximal runs -> gated dedented candidates.
+    Ends with ``locs(content, doc_id, line)``."""
+    return rf"""docs AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\S+\s+){{7}}\S+)\s+',
+                                '\1' || chr(10), 'g') AS text
+          FROM documents
+        ), raw AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS line_number
+          FROM docs
+        ), lines AS (
+          SELECT doc_id, CAST(line_number AS INTEGER) AS line_number,
+                 line, trim(line) AS trimmed
+          FROM raw
+        ), ne AS (
+          SELECT * FROM lines WHERE trimmed <> ''
+        ), dupk AS (
+          -- > 1: duplicate seeds; the upper bound mirrors the engine's
+          -- max_locations_per_line skew guard (default ON)
+          SELECT trimmed FROM ne GROUP BY trimmed
+          HAVING count(*) > 1 AND count(*) <= {max_locations_per_line}
+        ), duploc AS (
+          SELECT ne.doc_id, ne.line_number, ne.trimmed
+          FROM ne JOIN dupk USING (trimmed)
+        ), pairs AS (
+          SELECT a.doc_id AS da, a.line_number AS la,
+                 b.doc_id AS db, b.line_number AS lb
+          FROM duploc a JOIN duploc b ON a.trimmed = b.trimmed
+           AND (a.doc_id < b.doc_id
+                OR (a.doc_id = b.doc_id AND a.line_number < b.line_number))
+        ), isl AS (
+          SELECT da, db, la, lb, la - lb AS delta,
+                 la - row_number() OVER (PARTITION BY da, db, la - lb
+                                         ORDER BY la) AS grp
+          FROM pairs
+        ), runs AS (
+          SELECT da, db, min(la) AS start_a, min(lb) AS start_b,
+                 count(*) AS n_lines
+          FROM isl GROUP BY da, db, delta, grp
+        ), occ AS (
+          SELECT da AS doc_id, start_a AS start, n_lines,
+                 db AS o_doc, start_b AS o_start FROM runs
+          UNION ALL
+          SELECT db, start_b, n_lines, da, start_a FROM runs
+        ), occ_lines AS (
+          SELECT o.doc_id, o.start, o.n_lines, o.o_doc, o.o_start,
+                 l.line_number, l.line, l.trimmed
+          FROM occ o JOIN lines l ON l.doc_id = o.doc_id
+           AND l.line_number BETWEEN o.start AND o.start + o.n_lines - 1
+        ), occmeta AS (
+          SELECT doc_id, start, n_lines, o_doc, o_start,
+            bool_or(line_number = start AND line = trimmed
+                    AND trimmed <> '') AS gate,
+            min(CASE WHEN trimmed <> ''
+                     THEN length(line) - length(ltrim(line)) END) AS min_indent
+          FROM occ_lines GROUP BY 1, 2, 3, 4, 5
+        ), contents AS (
+          SELECT m.doc_id, m.start, m.o_doc, m.o_start,
+                 string_agg(substr(l.line, m.min_indent + 1), chr(10)
+                            ORDER BY l.line_number) AS content
+          FROM occmeta m JOIN lines l ON l.doc_id = m.doc_id
+           AND l.line_number BETWEEN m.start AND m.start + m.n_lines - 1
+          WHERE m.gate
+          GROUP BY 1, 2, 3, 4
+        ), locs AS (
+          SELECT content, doc_id, CAST(start AS INTEGER) AS line FROM contents
+          UNION
+          SELECT content, o_doc, CAST(o_start AS INTEGER) FROM contents
+        )"""
+
+
+def duplicate_block_candidates_sql(
+    max_locations_per_line: int = 1000, min_lines: int = 3
+) -> str:
+    """Twin of ``duplicate_blocks(resolve=False)`` exploded to one row
+    per (content, doc_id, line)."""
+    return f"""
+        WITH {_dup_candidates_ctes(max_locations_per_line)}
+        SELECT DISTINCT content, doc_id, line
+        FROM locs
+        WHERE len(list_filter(string_split(content, chr(10)),
+                              x -> trim(x) <> '')) >= {min_lines}
+    """
+
+
+def duplicate_blocks_resolved_sql(
+    max_locations_per_line: int = 1000, min_lines: int = 3
+) -> str:
+    """Twin of ``duplicate_blocks(resolve=True)`` — the reference's
+    greedy overlap resolution (duplication.rs:298-336) as a RECURSIVE
+    CTE: blocks are visited in the engine's pinned total order
+    (n_nonempty desc, bytes desc, content asc); each step keeps the
+    locations whose line-cells are unclaimed, claims them iff >= 2
+    survive, and threads the claimed-cell list through the recursion.
+    Cells are encoded doc_id * 2^20 + line (line numbers < 2^20 at any
+    tested sf). Inherently sequential — which is exactly why the
+    recursion is the right SQL twin; the candidate set it walks is
+    orders of magnitude smaller than the corpus."""
+    return f"""
+        WITH RECURSIVE {_dup_candidates_ctes(max_locations_per_line)},
+        blocks AS (
+          SELECT content, locs,
+                 len(string_split(content, chr(10))) AS n_lines,
+                 len(list_filter(string_split(content, chr(10)),
+                                 x -> trim(x) <> '')) AS n_nonempty,
+                 CAST(row_number() OVER (
+                   ORDER BY len(list_filter(string_split(content, chr(10)),
+                                            x -> trim(x) <> '')) DESC,
+                            strlen(content) DESC, content ASC) AS INTEGER)
+                   AS idx
+          FROM (
+            -- explicit DISTINCT: under WITH RECURSIVE, DuckDB 1.0 does
+            -- not apply the UNION dedup inside the shared locs CTE
+            SELECT content,
+                   list({{'doc_id': doc_id, 'line': line}}) AS locs
+            FROM (SELECT DISTINCT content, doc_id, line FROM locs)
+            GROUP BY content
+          )
+        ), step(idx, used, content, valid, n_nonempty) AS (
+          SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS VARCHAR),
+                 CAST(NULL AS STRUCT(doc_id BIGINT, line INTEGER)[]), 0
+          UNION ALL
+          SELECT b.idx,
+                 CASE WHEN len(v.valid) >= 2
+                      THEN s.used || flatten(list_transform(v.valid,
+                        loc -> list_transform(range(0, b.n_lines),
+                          i -> loc.doc_id * 1048576 + loc.line + i)))
+                      ELSE s.used END,
+                 b.content,
+                 CASE WHEN len(v.valid) >= 2 THEN v.valid END,
+                 b.n_nonempty
+          FROM step s
+          JOIN blocks b ON b.idx = s.idx + 1,
+          LATERAL (
+            SELECT list_filter(b.locs,
+              loc -> NOT list_has_any(
+                list_transform(range(0, b.n_lines),
+                  i -> loc.doc_id * 1048576 + loc.line + i),
+                s.used)) AS valid
+          ) v
+        ), survivors AS (
+          SELECT content, unnest(valid) AS loc
+          FROM step
+          WHERE valid IS NOT NULL AND n_nonempty >= {min_lines}
+        )
+        SELECT content, loc.doc_id AS doc_id, loc.line AS line
+        FROM survivors
+    """
+
+
+# --------------------------------------------------------------------------
 # IVF ANN (operators/similarity.py: ivf_cosine_topk)
 # --------------------------------------------------------------------------
 
