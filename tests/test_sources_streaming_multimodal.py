@@ -30,10 +30,11 @@ def test_read_text_corpus_recursive(spark, tmp_path):
     (tmp_path / "bin.dat").write_bytes(b"ab\x00cd")
     df = read_text_corpus(spark, str(tmp_path))
     rows = {r["doc_id"].rsplit("/", 1)[-1]: r["text"] for r in df.collect()}
-    # binary dropped; empty files skipped by the Spark source
-    # (documented deviation — zero lines/tokens either way)
-    assert set(rows) == {"a.txt", "b.txt", "c.txt"}
+    # binary dropped; empty files KEPT as empty-string entries
+    # (reference parity, file_utils.rs:122-128)
+    assert set(rows) == {"a.txt", "b.txt", "c.txt", "empty.txt"}
     assert rows["c.txt"] == "epsilon\n"
+    assert rows["empty.txt"] == ""
 
 
 def test_streaming_word_frequency(spark, tmp_path):
@@ -111,3 +112,63 @@ def test_sample_frames(spark):
         by_ref.setdefault(r["media_ref"], []).append(r["frame_ts_ms"])
     assert sorted(by_ref["m1"]) == [0, 1000, 2000, 3000]
     assert by_ref["m2"] == [0]
+
+
+def test_read_text_corpus_keeps_empty_files(spark, tmp_path):
+    """Reference parity file_utils.rs:122-128: empty files appear as
+    empty-string entries (binaryFile alone would skip them)."""
+    (tmp_path / "full.txt").write_text("hello world")
+    (tmp_path / "empty.txt").write_text("")
+    from textalyzer_spark.sources.readers import read_text_corpus
+
+    rows = {r["doc_id"]: r["text"] for r in read_text_corpus(spark, str(tmp_path)).collect()}
+    assert len(rows) == 2
+    texts = sorted(rows.values())
+    assert texts == ["", "hello world"]
+    # empty entry's doc_id uses the same URI shape as binaryFile's
+    full_id = next(k for k, v in rows.items() if v)
+    empty_id = next(k for k, v in rows.items() if not v)
+    assert full_id.split(":", 1)[0] == empty_id.split(":", 1)[0]
+
+
+def test_read_text_corpus_ignore_rules(spark, tmp_path):
+    """Reference parity file_utils.rs:60-97: .gitignore/.ignore rules
+    honored, .git skipped, negation wins later."""
+    (tmp_path / "keep.txt").write_text("keep")
+    (tmp_path / "skip.log").write_text("skip")
+    (tmp_path / ".gitignore").write_text("*.log\nbuild/\n!important.log\n")
+    (tmp_path / "important.log").write_text("negated keep")
+    (tmp_path / "build").mkdir()
+    (tmp_path / "build" / "artifact.txt").write_text("ignored dir")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "inner.log").write_text("inherited skip")
+    (tmp_path / "sub" / ".ignore").write_text("private*\n")
+    (tmp_path / "sub" / "private.txt").write_text("local skip")
+    (tmp_path / "sub" / "ok.txt").write_text("sub keep")
+    (tmp_path / ".git").mkdir()
+    (tmp_path / ".git" / "HEAD").write_text("ref: refs/heads/main")
+    from textalyzer_spark.sources.readers import read_text_corpus
+
+    rows = read_text_corpus(spark, str(tmp_path), use_ignore_rules=True).collect()
+    names = sorted(r["doc_id"].rsplit("/", 1)[-1] for r in rows)
+    # hidden files (incl. the ignore files themselves) are skipped,
+    # like the reference's WalkBuilder hidden-file default
+    assert names == ["important.log", "keep.txt", "ok.txt"]
+
+
+def test_format_duplications_files_only():
+    """Reference parity output.rs:110 (--files-only): location lists
+    without the content blocks."""
+    from textalyzer_spark.formatting import format_duplications
+
+    rows = [
+        ("dup content line", [("a.txt", 3), ("b.txt", 7)]),
+        ("other block", [("c.txt", 1), ("c.txt", 9)]),
+    ]
+    full = format_duplications(rows, files_only=False)
+    fo = format_duplications(rows, files_only=True)
+    assert "Found 2 duplicate entries" in full and "Found 2 duplicate entries" in fo
+    assert "a.txt:3" in fo and "c.txt:9" in fo
+    assert "dup content line" in full and "dup content line" not in fo
+    assert "-" * 80 in full and "-" * 80 not in fo
+    assert format_duplications([], files_only=True) == "No duplications found.\n"

@@ -73,6 +73,41 @@ def format_line_length_histogram(rows: list[tuple[int, int]]) -> str:
     return "".join(out)
 
 
+def format_duplications(
+    rows: list[tuple[str, list[tuple[str, int]]]],
+    files_only: bool = False,
+    term_width: int = 80,
+) -> str:
+    """Render resolved duplications (output.rs:38-127, colors stripped
+    — terminal theming is scoped out per SURVEY §2.11).
+
+    ``files_only=True`` is the reference's ``--files-only`` mode
+    (output.rs:110): the count header and the wrapped ``path:line``
+    location lists are emitted, the duplicated content block and the
+    dash separator are suppressed.
+    """
+    if not rows:
+        return "No duplications found.\n"
+    out = [f"📚 Found {len(rows)} duplicate entries\n\n"]
+    left_width = 80
+    avail = term_width - left_width if term_width > left_width else 40
+    marker = " └─ "
+    for content, locs in rows:
+        current = ""
+        for path, line_num in locs:
+            loc_str = f"{path}:{line_num}"
+            if current and len(current) + len(marker) + len(loc_str) > avail:
+                out.append(current + "\n")
+                current = marker + loc_str
+            else:
+                current = f"{current}{marker}{loc_str}"
+        out.append(current + "\n\n")
+        if not files_only:
+            out.append(f"{content:76}\n")
+            out.append("-" * term_width + "\n")
+    return "".join(out)
+
+
 # --- reference-shaped JSON sinks (types.rs:108-137, lib.rs:39-49,134-147) ---
 
 
