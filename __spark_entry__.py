@@ -8,6 +8,17 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Engine implementation lives in ``textalyzer_spark/``; this module is
 a thin registry binding operators from SURVEY.md §2 to the driver's
 flat ``documents``/``embeddings`` parquet tables.
+
+Tokenizer/oracle scope note: the engine tokenizes on the full Unicode
+alphabetic class (Java \\p{IsAlphabetic} / Python [^\\W\\d_], matching
+the reference's char::is_alphabetic); the DuckDB oracles use
+``[a-z]+``. The two agree exactly on ASCII corpora — which the driver
+tables are (verified: zero non-ASCII rows at every sf). On a
+non-ASCII corpus the ENGINE output is the intended behavior and the
+oracle, not the engine, would need the corpus's script ranges added
+(three regex engines' Unicode tables cannot be byte-identical in
+general; Unicode fixtures are pytest-checked instead —
+tests/test_tokens.py, tests/test_frequency.py).
 """
 
 from __future__ import annotations

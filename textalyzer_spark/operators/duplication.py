@@ -217,7 +217,9 @@ def _candidates(runs: DataFrame, lines: DataFrame) -> DataFrame:
     )
 
 
-def _doc_components(cands: DataFrame, max_iters: int = 12) -> DataFrame:
+def _doc_components(
+    cands: DataFrame, max_iters: int = 12, driver_max_edges: int = 1_000_000
+) -> DataFrame:
     """Connected components of the doc-overlap graph: ``(doc_id,
     component)`` where component = min doc_id in the component.
 
@@ -227,9 +229,17 @@ def _doc_components(cands: DataFrame, max_iters: int = 12) -> DataFrame:
     per-component resolution is parity-identical to the global
     sequential pass, but runs one task per component.
 
-    Pregel-lite min-label propagation (driver loop, ~log(diameter)
-    rounds; candidate graphs are shallow — docs linked by shared
-    blocks)."""
+    Two strategies, same labels (component = min doc_id):
+
+    * edge count <= ``driver_max_edges`` (the common case — the
+      candidate graph is orders of magnitude smaller than the corpus;
+      1M edges is a few MB): collect the edges once and run
+      union-find on the driver. One job instead of ~2 jobs x
+      log(diameter) Pregel rounds — the Pregel loop's per-iteration
+      driver actions dominated duplicate_blocks wall time on every
+      corpus measured.
+    * larger graphs: Pregel-lite min-label propagation (driver loop,
+      ~log(diameter) rounds; candidate graphs are shallow)."""
     docs = (
         cands.select(F.explode("locations").alias("l"))
         .select(F.col("l.doc_id").alias("doc_id"))
@@ -252,6 +262,32 @@ def _doc_components(cands: DataFrame, max_iters: int = 12) -> DataFrame:
     # per iteration (measured: minutes instead of seconds at sf0.1)
     edges = edges.localCheckpoint()
     docs = docs.localCheckpoint()
+
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(d["doc_id"], find(d["doc_id"])) for d in docs.collect()]
+        spark = cands.sparkSession
+        id_field = docs.schema["doc_id"]
+        out_schema = (
+            f"doc_id {id_field.dataType.simpleString()}, "
+            f"component {id_field.dataType.simpleString()}"
+        )
+        return spark.createDataFrame(rows, out_schema)
+
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iters):
         msgs = (
@@ -322,7 +358,8 @@ def duplicate_blocks(
     text_col: str = "text",
     max_locations_per_line: int | None = 1000,
     resolve: bool = True,
-    resolution: str = "components",
+    resolution: str = "auto",
+    driver_max_candidates: int = 100_000,
 ) -> DataFrame:
     """Multi-line duplication (reference duplication.rs:52-339 +
     lib.rs:114-131). ``min_lines <= 1`` dispatches to
@@ -343,11 +380,18 @@ def duplicate_blocks(
     below pathological density. ``None`` restores exact reference
     parity (documented deviation, FIXTURES.md §3).
 
-    ``resolution='components'`` (default, the scale path) runs the
-    greedy overlap resolution per connected component of the
-    doc-overlap graph — parity-identical to ``'global'`` (one
-    sequential pass over everything) because blocks in disjoint
-    components can never contend for line positions.
+    ``resolution``: ``'auto'`` (default) collects candidate blocks to
+    the driver and resolves there when there are at most
+    ``driver_max_candidates`` of them — candidates are the DUPLICATED
+    blocks, orders of magnitude smaller than the corpus, and the
+    driver pass replaces ~10 tiny scheduled jobs (component
+    propagation + applyInPandas machinery) with one. Larger candidate
+    sets fall through to ``'components'`` (the scale path): greedy
+    resolution per connected component of the doc-overlap graph —
+    parity-identical to ``'global'`` (one sequential pass over
+    everything) because blocks in disjoint components can never
+    contend for line positions, and each component runs as its own
+    task.
     """
     if min_lines <= 1:
         return duplicate_lines(df, id_col, text_col)
@@ -362,10 +406,22 @@ def duplicate_blocks(
             f"content string, locations {_loc_schema(df, id_col)}, n_lines int, "
             "n_nonempty int, n_bytes bigint"
         )
+        checkpointed = False
+        if resolution == "auto":
+            cands = cands.localCheckpoint()
+            checkpointed = True
+            if cands.count() <= driver_max_candidates:
+                resolved = df.sparkSession.createDataFrame(
+                    _resolve_overlaps(cands.toPandas()), schema
+                )
+                resolution = "driver"
+            else:
+                resolution = "components"
         if resolution == "components":
             # cands feeds three consumers (component docs, edges, and
             # the resolution join) — materialize once
-            cands = cands.localCheckpoint()
+            if not checkpointed:
+                cands = cands.localCheckpoint()
             comp = _doc_components(cands)
             keyed = cands.withColumn(
                 "_g", F.col("locations")[0]["doc_id"]
@@ -379,7 +435,7 @@ def duplicate_blocks(
             resolved = keyed.groupBy("_comp").applyInPandas(
                 lambda _, pdf: _resolve_overlaps(pdf), schema
             )
-        else:
+        elif resolution == "global":
             keyed = cands.withColumn("_g", F.lit(1))
             resolved = keyed.groupBy("_g").applyInPandas(
                 lambda _, pdf: _resolve_overlaps(pdf), schema

@@ -35,10 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch sizing trades python round-trip overhead against
-        # worst-case batch memory on skewed (pathologically long)
-        # documents; 8192 is the balanced default, override via env
-        # for short-doc benchmark corpora (SURVEY.md §4)
+        # Arrow batch sizing: 8192 balances python round-trip overhead
+        # against (a) worst-case batch memory on skewed pathologically
+        # long documents and (b) JVM<->python PIPELINING — several
+        # batches per task let the JVM decode batch n+1 while python
+        # processes batch n; a one-batch-per-task setting serializes
+        # the two sides and cost ~25% wall at 32 cores (BENCH.md)
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_ARROW_BATCH", "8192"),
