@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
     from textalyzer_spark.lineage import read_lineage, run_with_lineage
-    from textalyzer_spark.operators.spans import process_spans_fused
+    from textalyzer_spark.operators.spans import process_spans_arrow
 
     docs = spark.read.parquet(args.input)
     if args.flat:
@@ -54,10 +54,13 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     def transform(part):
-        # re-derive the bucket on the output (mapInPandas replaces the
-        # input columns, so the lineage bucket must be recomputed from
-        # doc_id — same hash, same assignment)
-        processed = process_spans_fused(part.drop("bucket"))
+        # re-derive the bucket on the output (the Arrow stage replaces
+        # the input columns, so the lineage bucket must be recomputed
+        # from doc_id — same hash, same assignment). mapInArrow variant:
+        # spans stay a pyarrow ListArray end to end (BENCH.md — the
+        # fused mapInPandas variant materializes every span struct as a
+        # python dict in both directions and measured ~2.5x slower)
+        processed = process_spans_arrow(part.drop("bucket"))
         return processed.withColumn(
             "bucket",
             F.pmod(
