@@ -1,0 +1,83 @@
+"""Cross-engine checks on a planted EDGE-CASE corpus (empty docs,
+bare-newline docs, CRLF terminators, runs of blank lines, trailing
+newlines) — the exact inputs where Spark's split_lines semantics and
+the DuckDB oracle SQL could silently diverge (ADVICE round 1). The
+driver's corpus never exercises these, so this fixture is the guard.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+EDGE_DOCS = [
+    (1, "plain single line"),
+    (2, ""),                      # empty doc -> zero lines
+    (3, "\n"),                    # bare newline -> zero lines after strip
+    (4, "alpha beta\n"),          # trailing newline -> one line
+    (5, "a\r\nbb\r\nccc"),        # CRLF terminators -> \r stripped
+    (6, "x\n\n\ny"),              # blank-line runs kept (len 0 lines)
+    (7, "word word other\nword"),
+    (8, "  indented  \n\ttabbed"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory):
+    """A documents.parquet shaped exactly like the driver's table."""
+    d = tmp_path_factory.mktemp("edge_sf")
+    spark.createDataFrame(EDGE_DOCS, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare(spark, edge_sf_dir, name):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_sf_dir}/documents.parquet/*.parquet')"
+    )
+    sdf = entrymod.queries()[name](spark, edge_sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(r[c] for c in scols) for r in sdf.collect())
+    ddf = con.sql(entrymod.oracle_sql()[name])
+    dcols_raw = ddf.columns
+    drows = sorted(
+        tuple(r[dcols_raw.index(c)] for c in sorted(dcols_raw))
+        for r in ddf.fetchall()
+    )
+    assert scols == sorted(dcols_raw)
+    assert srows == drows, f"{name}: spark={srows[:5]} duck={drows[:5]}"
+    return srows
+
+
+def test_line_length_edge_semantics(spark, edge_sf_dir):
+    # sorted columns -> tuples are (count, length)
+    rows = _compare(spark, edge_sf_dir, "line_length")
+    by_length = {length: count for count, length in rows}
+    assert by_length[0] == 2     # the two blank lines inside doc 6
+    # doc 2 and doc 3 contribute no lines at all: total line count
+    # = 1 + 0 + 0 + 1 + 3 + 4 + 2 + 2
+    assert sum(count for count, _ in rows) == 13
+
+
+def test_word_frequency_edge(spark, edge_sf_dir):
+    # sorted columns -> tuples are (count, word)
+    rows = _compare(spark, edge_sf_dir, "word_frequency")
+    counts = {w: c for c, w in rows}
+    assert counts["word"] == 3
+
+
+def test_display_width_edge(spark, edge_sf_dir):
+    _compare(spark, edge_sf_dir, "line_display_width")
+
+
+def test_duplication_resolved_edge(spark, edge_sf_dir):
+    # no >=3-line duplicate blocks exist in this corpus; both engines
+    # must agree on emptiness (the synthesized-newline pipeline still
+    # runs end to end over the weird docs)
+    rows = _compare(spark, edge_sf_dir, "duplicate_blocks_resolved")
+    assert rows == []

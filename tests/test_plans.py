@@ -59,3 +59,49 @@ def test_cosine_topk_broadcasts_queries(spark, docs):
     )
     q = cosine_topk(emb, queries, k=3)
     assert uses_broadcast_join(q)  # corpus side must NOT shuffle
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_dedup_family_has_no_cartesian(spark, docs):
+    """Every bucketed near-dup operator must candidate-generate via an
+    equi-join on derived keys — a CartesianProduct in any of these
+    plans means the bucketing silently degenerated."""
+    from textalyzer_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from textalyzer_spark.operators.duplication import duplicate_blocks
+    from textalyzer_spark.operators.tokens import winnow_near_dup_pairs
+
+    small = docs.limit(50)
+    for q in (
+        minhash_lsh_pairs(small, k=3, num_hashes=16, bands=4, threshold=0.3),
+        simhash_near_pairs(small, max_hamming=3),
+        winnow_near_dup_pairs(small, min_shared=2),
+        duplicate_blocks(small, min_lines=2, resolve=False),
+    ):
+        assert "CartesianProduct" not in _executed_plan(q)
+
+
+def test_signatures_run_in_arrow_batches_not_interpreted_hofs(spark, docs):
+    """The engine rule: per-element array math must run as Arrow-batch
+    numpy (mapInPandas/mapInArrow nodes), never as interpreted
+    Catalyst higher-order functions (BENCH.md lesson). Pin the node
+    type for each signature stage."""
+    from textalyzer_spark.operators.dedup import minhash_signatures, simhash
+    from textalyzer_spark.operators.similarity import _hyperplane_buckets
+
+    small = docs.limit(20)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    for q in (
+        minhash_signatures(small, k=3, num_hashes=16),
+        simhash(small),
+        _hyperplane_buckets(
+            emb.withColumnRenamed("vec_id", "vid"), "vid", 64, 4, 2, 42
+        ),
+    ):
+        plan = _executed_plan(q)
+        assert "MapInPandas" in plan or "PythonMapInArrow" in plan

@@ -172,3 +172,71 @@ def test_format_duplications_files_only():
     assert "dup content line" in full and "dup content line" not in fo
     assert "-" * 80 in full and "-" * 80 not in fo
     assert format_duplications([], files_only=True) == "No duplications found.\n"
+
+
+def _make_wav(freq_hz: float = 440.0, seconds: float = 0.25, sr: int = 8000) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(sr * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(0.5 * 32767 * math.sin(2 * math.pi * freq_hz * i / sr))
+                )
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def _make_ppm(w: int = 4, h: int = 2, rgb=(255, 0, 128)) -> bytes:
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def test_real_wav_and_ppm_decode_through_arrow_path(spark):
+    """audio/wav and image/ppm decode for REAL (stdlib parsers) through
+    the same mapInPandas plumbing the stubbed formats use."""
+    import math
+
+    from textalyzer_spark.operators.multimodal import extract_media_features
+
+    rows = [
+        ("wav1", "audio/wav", _make_wav(), None, None, 250),
+        ("ppm1", "image/ppm", _make_ppm(), 4, 2, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    out = {
+        r["media_ref"]: r
+        for r in extract_media_features(media, fake=False).collect()
+    }
+    wavf = out["wav1"]["features"]
+    assert abs(wavf[0] - 0.25) < 1e-6          # duration seconds
+    assert abs(wavf[1] - 8000 / 48000) < 1e-6  # sample rate
+    assert wavf[2] == 1.0                      # channels
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert abs(wavf[3] - 0.5 / math.sqrt(2)) < 0.01
+    ppmf = out["ppm1"]["features"]
+    assert abs(ppmf[0] - 4 / 4096) < 1e-6 and abs(ppmf[1] - 2 / 4096) < 1e-6
+    assert abs(ppmf[2] - 1.0) < 1e-3    # mean R
+    assert abs(ppmf[3] - 0.0) < 1e-3    # mean G
+    assert abs(ppmf[4] - 128 / 255) < 1e-3  # mean B
+    # unsupported format still raises the honest stub error
+    import pytest as _pytest
+
+    from textalyzer_spark.operators.multimodal import decode_media
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg", fake=False)

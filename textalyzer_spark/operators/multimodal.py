@@ -1,12 +1,19 @@
 """Multimodal column plumbing: image/audio/video payloads as opaque
 ``binary`` columns with typed metadata, processed in Arrow batches.
 
-The decode step is STUBBED (image/audio codec libraries are not in
-this container): ``decode_media`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic hash-derived feature
-vector. Everything around the stub — schema, Arrow batch shape,
-mapInPandas plumbing, partitioning — is real and tested, so swapping
-in a real decoder is a one-function change.
+Decode support is format-tiered:
+
+* REAL decoders (stdlib/numpy only, no codec libraries needed):
+  ``audio/wav`` (RIFF parse via the ``wave`` module → duration,
+  sample rate, channels, RMS) and ``image/ppm`` (binary P6 parse →
+  dimensions, per-channel means). These run the full Arrow path
+  end to end on genuine bytes.
+* STUBBED formats (jpeg/png/mp4 — codec libraries are not in this
+  container): ``decode_media`` raises NotImplementedError unless
+  ``fake=True``, which substitutes a deterministic hash-derived
+  feature vector. Everything around the stub — schema, Arrow batch
+  shape, mapInPandas plumbing, partitioning — is identical to the
+  real-format path, so adding a codec is a one-function change.
 
 Media rows ride the same ``documents(doc_id, spans)`` model: a media
 span's ``media_ref`` keys into a ``media(media_ref, kind, payload,
@@ -55,18 +62,86 @@ def media_from_documents(nested: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False) -> list[float]:
-    """Decode one payload into a feature vector.
+def decode_wav(payload: bytes) -> list[float]:
+    """REAL WAV decode (stdlib ``wave`` + numpy, 16-bit PCM):
+    ``[duration_s, sample_rate/48000, n_channels, rms, peak, 0, 0, 1]``
+    (padded to FEATURE_DIM; trailing 1 marks a real decode)."""
+    import io
+    import wave
 
-    REAL DECODER NOT AVAILABLE IN THIS ENVIRONMENT — with
-    ``fake=False`` this raises NotImplementedError (the honest stub);
-    ``fake=True`` returns a deterministic hash-derived vector with the
-    exact shape a real embedding would have.
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        n_frames = w.getnframes()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if sampwidth != 2:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    rms = float(np.sqrt((samples * samples).mean())) if len(samples) else 0.0
+    peak = float(np.abs(samples).max()) if len(samples) else 0.0
+    duration = n_frames / sr if sr else 0.0
+    return [duration, sr / 48000.0, float(n_ch), rms, peak, 0.0, 0.0, 1.0]
+
+
+def decode_ppm(payload: bytes) -> list[float]:
+    """REAL binary-PPM (P6) decode (header parse + numpy):
+    ``[w/4096, h/4096, mean_r, mean_g, mean_b, maxval/255, 0, 1]``."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("only binary PPM (P6) supported")
+    # header: magic, width, height, maxval as whitespace-separated
+    # tokens (comments stripped), then one whitespace byte, then pixels
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    means = px.reshape(-1, 3).mean(axis=0) / float(maxval)
+    return [
+        w / 4096.0,
+        h / 4096.0,
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        maxval / 255.0,
+        0.0,
+        1.0,
+    ]
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> list[float]:
+    """Decode one payload into a FEATURE_DIM feature vector.
+
+    ``audio/wav`` and ``image/ppm`` decode for REAL (stdlib parsers,
+    see :func:`decode_wav` / :func:`decode_ppm`). Other kinds need
+    codec libraries not present in this container: with ``fake=False``
+    they raise NotImplementedError (the honest stub); ``fake=True``
+    returns a deterministic hash-derived vector with the exact shape a
+    real embedding would have.
     """
     if not fake:
+        if kind == "audio/wav":
+            return decode_wav(payload)
+        if kind == "image/ppm":
+            return decode_ppm(payload)
         raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "container; pass fake=True for the deterministic test double"
+            f"decoding {kind!r} requires codec libraries not present in "
+            "this container; pass fake=True for the deterministic test "
+            "double (audio/wav and image/ppm decode for real)"
         )
     digest = hashlib.sha256(payload or b"").digest()
     return [
