@@ -290,6 +290,26 @@ def q_duplicate_blocks_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-line duplication mode (reference duplication.rs:10-40,
+    the min_lines<=1 dispatch): trimmed lines of >5 bytes occurring
+    more than once, exploded to one row per (content, doc_id, line),
+    over the synthesized line-structured corpus."""
+    from textalyzer_spark.operators.duplication import duplicate_lines
+
+    dup = duplicate_lines(_line_structured_docs(spark, sf_dir))
+    return dup.select(
+        "content",
+        F.col("n_locations").cast("bigint").alias("n_locations"),
+        F.explode("locations").alias("l"),
+    ).select(
+        "content",
+        "n_locations",
+        F.col("l.doc_id").alias("doc_id"),
+        F.col("l.line").alias("line"),
+    )
+
+
 def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative character frequency (the reference's dormant
     relative-character-frequency.tsv asset, realized)."""
@@ -333,6 +353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "duplicate_block_candidates": q_duplicate_block_candidates,
     "duplicate_blocks_resolved": q_duplicate_blocks_resolved,
+    "duplicate_lines": q_duplicate_lines,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
@@ -393,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_blocks_resolved": _o.duplicate_blocks_resolved_sql(
             max_locations_per_line=1000, min_lines=3
         ),
+        "duplicate_lines": _o.duplicate_lines_sql(min_bytes=6),
     }
     return generated | {
         "char_frequency": """
@@ -482,7 +504,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT unnest(string_split(regexp_replace(text, '\n$', ''), chr(10)))
                        AS raw_line
-              FROM documents WHERE length(regexp_replace(text, '\n$', '')) > 0
+              FROM documents WHERE length(text) > 0
             )
             GROUP BY 1
             ORDER BY 1

@@ -1,0 +1,44 @@
+"""Hypothesis property test: split_lines must match a plain-Python
+model of Rust ``str::lines`` (the reference's line iterator) on
+arbitrary ASCII text with every mix of \\n, \\r\\n, trailing
+terminators, and blank runs — beyond the handcrafted fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.lines import split_lines
+
+
+def rust_lines_model(text: str) -> list[str]:
+    """Rust str::lines: split on \\n, swallow one trailing \\r per
+    line, no final empty line after a trailing \\n."""
+    if text == "":
+        return []
+    parts = text.split("\n")
+    if parts and parts[-1] == "":
+        parts = parts[:-1]
+    return [p[:-1] if p.endswith("\r") else p for p in parts]
+
+
+_TEXT = st.lists(
+    st.sampled_from(list("ab XY.!\t\n\r") + ["\r\n"]), max_size=40
+).map("".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=25))
+def test_split_lines_matches_rust_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["lines"])
+        for r in df.select(
+            "doc_id", split_lines("text").alias("lines")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == rust_lines_model(t), repr(t)

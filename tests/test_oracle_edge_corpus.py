@@ -21,6 +21,9 @@ EDGE_DOCS = [
     (6, "x\n\n\ny"),              # blank-line runs kept (len 0 lines)
     (7, "word word other\nword"),
     (8, "  indented  \n\ttabbed"),
+    (9, "tail\n\n"),             # strip ONE trailing \n -> ["tail", ""]
+    (10, "\n\n"),                # -> ["", ""] (Java $-vs-\z regression)
+    (11, "cr\r\r\nnext"),        # line "cr\r\r" loses exactly one \r
 ]
 
 
@@ -58,10 +61,14 @@ def test_line_length_edge_semantics(spark, edge_sf_dir):
     # sorted columns -> tuples are (count, length)
     rows = _compare(spark, edge_sf_dir, "line_length")
     by_length = {length: count for count, length in rows}
-    assert by_length[0] == 2     # the two blank lines inside doc 6
-    # doc 2 and doc 3 contribute no lines at all: total line count
-    # = 1 + 0 + 0 + 1 + 3 + 4 + 2 + 2
-    assert sum(count for count, _ in rows) == 13
+    # blank lines: two inside doc 6, doc 3 ("\n") = ONE empty line per
+    # Rust str::lines, doc 9's trailing pair = one, doc 10 = two
+    assert by_length[0] == 6
+    # doc 2 (empty) contributes no lines:
+    # 1 + 0 + 1 + 1 + 3 + 4 + 2 + 2 + 2 + 2 + 2
+    assert sum(count for count, _ in rows) == 20
+    # doc 11: "cr\r\r" strips exactly one trailing \r -> length 3
+    assert by_length.get(3, 0) >= 1
 
 
 def test_word_frequency_edge(spark, edge_sf_dir):

@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 def split_lines(text: Column | str) -> Column:
     """array<string> of lines, Rust ``str::lines`` semantics."""
     c = F.col(text) if isinstance(text, str) else text
-    # strip one trailing \n so split() doesn't emit a final "" element
-    c = F.regexp_replace(c, r"\n$", "")
-    arr = F.split(c, r"\n")
+    # strip ONE trailing \n so split() doesn't emit a final "" element.
+    # \z, not $: Java's $ also matches BEFORE a final line terminator,
+    # so "\n$" on "\n\n" would strip BOTH newlines (hypothesis-found);
+    # DuckDB's RE2 $ is already end-of-text-only
+    stripped = F.regexp_replace(c, r"\n\z", "")
+    arr = F.split(stripped, r"\n")
     # str::lines treats \r\n as a terminator too: drop a trailing \r
-    arr = F.transform(arr, lambda l: F.regexp_replace(l, r"\r$", ""))
-    # split("") yields [""]: represent an empty document as zero lines
+    # (same \z reasoning: "a\r\r" must lose exactly one \r)
+    arr = F.transform(arr, lambda l: F.regexp_replace(l, r"\r\z", ""))
+    # only a truly EMPTY document has zero lines (split("") == [""]);
+    # the emptiness check must look at the ORIGINAL text — "\n" is one
+    # empty line in Rust ("\n".lines() == [""]), found by the
+    # hypothesis property test against the str::lines model
     return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(arr)
 
 

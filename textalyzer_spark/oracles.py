@@ -413,6 +413,25 @@ def duplicate_block_candidates_sql(
     """
 
 
+def duplicate_lines_sql(min_bytes: int = 6) -> str:
+    """Twin of ``duplicate_lines`` (reference duplication.rs:10-40)
+    exploded to one row per (content, n_locations, doc_id, line):
+    trimmed lines of >= min_bytes bytes occurring more than once."""
+    prefix = _dup_candidates_ctes().split("), ne AS (")[0]
+    return f"""
+        WITH {prefix}
+        ), f AS (
+          SELECT doc_id, line_number, trimmed
+          FROM lines WHERE strlen(trimmed) >= {min_bytes}
+        ), g AS (
+          SELECT trimmed AS content, count(*) AS n_locations
+          FROM f GROUP BY 1 HAVING count(*) > 1
+        )
+        SELECT g.content, g.n_locations, f.doc_id, f.line_number AS line
+        FROM g JOIN f ON f.trimmed = g.content
+    """
+
+
 def duplicate_blocks_resolved_sql(
     max_locations_per_line: int = 1000, min_lines: int = 3
 ) -> str:
@@ -613,7 +632,7 @@ def line_display_width_sql() -> str:
             SELECT unnest(string_split(regexp_replace(text, '\\n$', ''), chr(10)))
                      AS raw_line
             FROM documents
-            WHERE length(regexp_replace(text, '\\n$', '')) > 0
+            WHERE length(text) > 0
           )
         ), chars AS (
           SELECT line_id,
