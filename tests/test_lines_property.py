@@ -42,3 +42,27 @@ def test_split_lines_matches_rust_model(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == rust_lines_model(t), repr(t)
+
+
+_ASCII_TEXT = st.lists(
+    st.sampled_from(list("abcXYZ 019.,!?'\"-\n\t_")), max_size=60
+).map("".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_ASCII_TEXT, min_size=1, max_size=25))
+def test_jvm_and_python_tokenizers_agree(spark, texts):
+    """tokens_col (JVM \\p{IsAlphabetic}) and tokenize_text (Python
+    [^\\W\\d_]) must produce identical token streams on ASCII — the
+    assumption every oracle-bound text query rests on."""
+    from textalyzer_spark.functions.tokenize import tokenize_text, tokens_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["toks"])
+        for r in df.select("doc_id", tokens_col("text").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize_text(t), repr(t)

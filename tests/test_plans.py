@@ -105,3 +105,13 @@ def test_signatures_run_in_arrow_batches_not_interpreted_hofs(spark, docs):
     ):
         plan = _executed_plan(q)
         assert "MapInPandas" in plan or "PythonMapInArrow" in plan
+
+
+def test_embedding_queries_prune_to_needed_columns(spark):
+    """The embeddings table has (vec_id, embedding, label); similarity
+    queries must not scan `label` — at 10^12 rows an unpruned float
+    array table is the difference between reading 2 columns and 3."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["cosine_topk"](spark, SF)
+    assert "label" not in read_schema_columns(q)

@@ -240,3 +240,25 @@ def test_real_wav_and_ppm_decode_through_arrow_path(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "image/jpeg", fake=False)
+
+
+def test_iceberg_paths_gated_honestly(spark):
+    """The Iceberg entry points must detect the missing runtime (this
+    sandbox has no Iceberg jar) rather than fail mid-write; on a real
+    cluster iceberg_available flips true and the same calls run."""
+    from textalyzer_spark.sources.iceberg import (
+        iceberg_available,
+        write_documents_iceberg,
+    )
+
+    available = iceberg_available(spark)
+    if available:
+        df = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
+        write_documents_iceberg(df, "lake.db.docs_test")
+        assert spark.read.table("lake.db.docs_test").count() == 1
+    else:
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
+        with _pytest.raises(Exception):
+            write_documents_iceberg(df, "lake.db.docs_test")
