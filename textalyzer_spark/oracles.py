@@ -33,9 +33,11 @@ def minhash_lsh_sql(
     bands: int = 8,
     threshold: float = 0.1,
     seed: int = 42,
+    max_bucket_docs: int = 1000,
 ) -> str:
     """Value-exact twin of ``minhash_lsh_pairs``: same affine params,
-    same signatures, same band buckets, same exact-Jaccard verify."""
+    same signatures, same band buckets (including the mega-bucket
+    guard), same exact-Jaccard verify."""
     from textalyzer_spark.operators.dedup import _P, _hash_params
 
     av, bv = _hash_params(num_hashes, seed)
@@ -70,9 +72,16 @@ def minhash_lsh_sql(
           SELECT doc_id, i // {rows} AS band,
                  string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
           FROM sig GROUP BY doc_id, i // {rows}
+        ), okb AS (
+          -- mirrors the engine's max_bucket_docs mega-bucket guard
+          SELECT band, bucket FROM bnd
+          GROUP BY 1, 2 HAVING count(*) <= {max_bucket_docs}
+        ), bndk AS (
+          SELECT bnd.doc_id, bnd.band, bnd.bucket
+          FROM bnd JOIN okb USING (band, bucket)
         ), cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bnd a JOIN bnd b
+          FROM bndk a JOIN bndk b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         ), sizes AS (
           SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1
