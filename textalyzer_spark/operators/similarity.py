@@ -159,6 +159,7 @@ def embedding_near_dup_pairs_lsh(
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket_docs: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -176,6 +177,13 @@ def embedding_near_dup_pairs_lsh(
     theta <= 26 deg) recall is high and the bucket join touches a
     vanishing fraction of the n^2 pairs; tune n_bits up with corpus
     size to keep buckets small.
+
+    ``max_bucket_docs`` is the mega-bucket guard (same rationale as
+    ``minhash_lsh_pairs``): a family of f byte-identical embeddings
+    lands whole in one bucket of every table and fans out f^2/2 rows
+    per table. Default OFF here because the registered query's tiny
+    n_bits=4 buckets at low threshold would trip any useful cap; set
+    it (e.g. 10_000) on duplicate-heavy production corpora.
     """
     from collections.abc import Iterator
 
@@ -191,6 +199,14 @@ def embedding_near_dup_pairs_lsh(
     # pairs — id-only join + dedup shuffles ~16 bytes/row instead,
     # then the vectors attach via two equi-joins (auto-broadcast when
     # the vectors side is small; plain shuffled hash join at 10^12)
+    if max_bucket_docs is not None:
+        ok = (
+            vs.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket_docs)
+            .select("table", "bucket")
+        )
+        vs = vs.join(ok, ["table", "bucket"])
     a = vs.select("table", "bucket", F.col("vec_id").alias("vec_a"))
     b = vs.select("table", "bucket", F.col("vec_id").alias("vec_b"))
     pair_ids = (
