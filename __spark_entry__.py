@@ -310,6 +310,24 @@ def q_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (north_rule: HTML boilerplate strip /
+    DOM heuristics): each document is wrapped in a deterministic page
+    template (nav + header + all-links ad unit + article + image +
+    footer, operators/extraction.py:synthesize_pages) and the
+    extractor must strip every boilerplate region and return exactly
+    the article paragraphs. The oracle reconstructs the expected
+    output directly from the original text — a full roundtrip check
+    of parser + tag scoping + link-density heuristics."""
+    from textalyzer_spark.operators.extraction import (
+        extract_main_content,
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(_docs(spark, sf_dir))
+    return extract_main_content(pages)
+
+
 def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative character frequency (the reference's dormant
     relative-character-frequency.tsv asset, realized)."""
@@ -354,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_block_candidates": q_duplicate_block_candidates,
     "duplicate_blocks_resolved": q_duplicate_blocks_resolved,
     "duplicate_lines": q_duplicate_lines,
+    "html_main_content": q_html_main_content,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
@@ -415,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
             max_locations_per_line=1000, min_lines=3
         ),
         "duplicate_lines": _o.duplicate_lines_sql(min_bytes=6),
+        "html_main_content": _o.html_main_content_sql(),
     }
     return generated | {
         "char_frequency": """

@@ -58,6 +58,7 @@ def main() -> None:
         "ivf_cosine_topk",
         "token_counts",
         "winnow_pairs",
+        "html_main_content",
         "events_windowed",
         "sessionize",
     ]

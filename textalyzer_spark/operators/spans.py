@@ -109,8 +109,12 @@ def process_spans_fused(nested: DataFrame) -> DataFrame:
     from textalyzer_spark.functions.syllables import count_syllables
     from textalyzer_spark.functions.tokenize import tokenize_text
 
+    # id type follows the input (string fixtures AND bigint ids, e.g.
+    # the html_to_spans corpus) — a hardcoded string schema makes the
+    # JVM read an int64 arrow vector as UTF8 and fail
+    id_type = dict(nested.dtypes).get("doc_id", "string")
     schema = (
-        "doc_id string, spans array<struct<kind:string,text:string,"
+        f"doc_id {id_type}, spans array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>, n_text_spans bigint, "
         "n_media_spans bigint, n_tokens bigint, n_syllables bigint"
     )
@@ -154,8 +158,10 @@ def process_spans_arrow(nested: DataFrame) -> DataFrame:
     from textalyzer_spark.functions.syllables import count_syllables
     from textalyzer_spark.functions.tokenize import tokenize_text
 
+    # id type follows the input (see process_spans_fused note)
+    id_type = dict(nested.dtypes).get("doc_id", "string")
     schema_str = (
-        "doc_id string, spans array<struct<kind:string,text:string,"
+        f"doc_id {id_type}, spans array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>, n_text_spans bigint, "
         "n_media_spans bigint, n_tokens bigint, n_syllables bigint"
     )

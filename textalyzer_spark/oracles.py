@@ -507,6 +507,44 @@ def duplicate_blocks_resolved_sql(
 
 
 # --------------------------------------------------------------------------
+# HTML main-content extraction roundtrip (operators/extraction.py)
+# --------------------------------------------------------------------------
+
+
+def html_main_content_sql() -> str:
+    """Expected output of ``extract_main_content(synthesize_pages(
+    documents))``: the page template is invertible, so the oracle
+    reconstructs the answer from the ORIGINAL text — kept blocks are
+    exactly the non-blank article paragraphs (one per line of the
+    source text, parser-stripped like Python str.strip), plus the one
+    synthesized image. If the extractor leaks any nav/header/ad/
+    footer text, drops a paragraph, or mangles entity round-tripping,
+    the value hash diverges."""
+    ws = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM documents
+        ), kept AS (
+          SELECT doc_id, trim(line, {ws}) AS block, pos
+          FROM raw WHERE trim(line, {ws}) <> ''
+        ), agg AS (
+          SELECT doc_id,
+                 string_agg(block, chr(10) ORDER BY pos) AS main_text,
+                 CAST(count(*) AS INTEGER) AS n_blocks
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.main_text, '') AS main_text,
+               coalesce(a.n_blocks, 0) AS n_blocks,
+               CAST(1 AS INTEGER) AS n_media
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+# --------------------------------------------------------------------------
 # IVF ANN (operators/similarity.py: ivf_cosine_topk)
 # --------------------------------------------------------------------------
 
