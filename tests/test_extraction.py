@@ -89,3 +89,57 @@ def test_synthesized_page_roundtrip_with_specials(spark):
     row = extract_main_content(synthesize_pages(docs)).collect()[0]
     assert row["main_text"] == "a & b < c > d\nsecond line"
     assert row["n_blocks"] == 2 and row["n_media"] == 1
+
+
+def _minimal_pdf(content_ops: bytes, flate: bool = True) -> bytes:
+    """A minimal single-page PDF wrapping the given content stream."""
+    import zlib
+
+    body = zlib.compress(content_ops) if flate else content_ops
+    filt = b"/Filter /FlateDecode " if flate else b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << " + filt + b"/Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"endstream endobj\n"
+        b"%%EOF\n"
+    )
+
+
+PDF_OPS = (
+    b"BT /F1 12 Tf 72 720 Td (Hello \\(PDF\\) world) Tj "
+    b"0 -14 TD (second line) Tj "
+    b"[(ker) -20 (ned)] TJ ET "
+    b"BT 72 600 Td (new block) Tj ET"
+)
+
+
+def test_pdf_text_extraction_flate_and_plain():
+    from textalyzer_spark.operators.extraction import pdf_extract_text_bytes
+
+    for flate in (True, False):
+        text = pdf_extract_text_bytes(_minimal_pdf(PDF_OPS, flate=flate))
+        assert "Hello (PDF) world" in text          # escape handling
+        assert "second line" in text
+        assert "kerned" in text                     # TJ array, kerning dropped
+        assert "new block" in text
+        # TD produced a line break between the runs
+        assert text.index("world") < text.index("\n") < text.index("second")
+    # unsupported filter is skipped, not crashed
+    bad = _minimal_pdf(PDF_OPS, flate=False).replace(
+        b"/Length", b"/Filter /DCTDecode /Length"
+    )
+    assert pdf_extract_text_bytes(bad) == ""
+
+
+def test_pdf_extract_text_dataframe(spark):
+    from textalyzer_spark.operators.extraction import pdf_extract_text
+
+    rows = [(1, _minimal_pdf(PDF_OPS)), (2, b"not a pdf")]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in pdf_extract_text(df).collect()}
+    assert "second line" in out[1]["text"]
+    assert out[2]["text"] == ""
+    assert out[1]["n_bytes"] > 100

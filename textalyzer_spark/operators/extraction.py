@@ -1,5 +1,10 @@
-"""Main-content extraction from HTML (north_rule: "HTML boilerplate
-strip, DOM heuristics") into the engine's interleaved span model.
+"""Main-content extraction (north_rule: "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics") into the engine's interleaved
+span model. HTML: stdlib html.parser + block model below. PDF:
+stdlib-only text extraction for unencrypted PDFs with plain or
+Flate-compressed content streams (zlib IS stdlib) — other stream
+filters and CID/UTF-16 fonts are skipped honestly, the same tier
+note as multimodal.py's codec formats.
 
 Heuristics are the public boilerpipe/jusText family, simplified to
 the signals that carry most of the weight (Kohlschuetter et al.,
@@ -224,6 +229,136 @@ def html_to_spans(
 
     id_type = dict(df.dtypes).get(id_col, "string")
     return df.mapInArrow(run, f"doc_id {id_type}, spans {SPAN_TYPE}")
+
+
+# --------------------------------------------------------------------------
+# PDF text extraction (north_rule: "PDF/layout parse")
+# --------------------------------------------------------------------------
+
+_PDF_STREAM_RE = None
+
+
+def _pdf_streams(data: bytes):
+    """Yield decoded content streams: raw for plain streams, inflated
+    for /FlateDecode (zlib is stdlib — most simple real PDFs use only
+    Flate). Other filters (DCT, LZW, crypt) are skipped: out of scope
+    without codec libraries, same honesty tier as multimodal.py."""
+    import re
+    import zlib
+
+    global _PDF_STREAM_RE
+    if _PDF_STREAM_RE is None:
+        _PDF_STREAM_RE = re.compile(
+            rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S
+        )
+    for m in _PDF_STREAM_RE.finditer(data or b""):
+        head, body = m.group(1), m.group(2)
+        if b"/FlateDecode" in head:
+            try:
+                yield zlib.decompress(body)
+            except zlib.error:
+                continue
+        elif b"/Filter" not in head:
+            yield body
+
+
+def _pdf_literal(s: bytes) -> str:
+    """Decode one PDF literal string body (escapes + octal), WinAnsi/
+    ASCII subset."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nxt = s[i + 1]
+            mapped = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b",
+                      0x66: "\f", 0x28: "(", 0x29: ")", 0x5C: "\\"}
+            if nxt in mapped:
+                out.append(mapped[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # octal escape, up to 3 digits
+                j = i + 1
+                oct_digits = []
+                while j < n and len(oct_digits) < 3 and 0x30 <= s[j] <= 0x37:
+                    oct_digits.append(s[j] - 0x30)
+                    j += 1
+                code = 0
+                for d in oct_digits:
+                    code = code * 8 + d
+                out.append(chr(code))
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out.append(chr(c))
+        i += 1
+    return "".join(out)
+
+
+def pdf_extract_text_bytes(data: bytes) -> str:
+    """Text of one PDF (plain Python; used inside Arrow batches and
+    by tests): text-showing operators Tj / ' / TJ inside BT..ET
+    blocks; Td/TD/T*/' vertical moves become newlines, TJ kerning
+    numbers are ignored. Scope: unencrypted PDFs with plain or
+    Flate-compressed content streams and byte-string (ASCII/WinAnsi)
+    text — no CID/UTF-16 fonts (the tier note in the module
+    docstring applies)."""
+    import re
+
+    chunks: list[str] = []
+    string_re = re.compile(rb"\((?:\\.|[^\\()])*\)", re.S)
+    for stream in _pdf_streams(data):
+        for bt in re.findall(rb"BT(.*?)ET", stream, re.S):
+            parts: list[str] = []
+            # walk operators in order: strings (kept with their op)
+            # and line-move ops (newline markers)
+            for m in re.finditer(
+                rb"(\((?:\\.|[^\\()])*\))\s*(Tj|')|(TJ)|(T\*|Td|TD)", bt
+            ):
+                if m.group(1) is not None:
+                    if m.group(2) == b"'":
+                        parts.append("\n")
+                    parts.append(_pdf_literal(m.group(1)[1:-1]))
+                elif m.group(3):
+                    # TJ: the array of strings just before the operator
+                    start = bt.rfind(b"[", 0, m.start(3))
+                    if start != -1:
+                        for sm in string_re.finditer(bt, start, m.start(3)):
+                            parts.append(_pdf_literal(sm.group(0)[1:-1]))
+                elif m.group(4):
+                    parts.append("\n")
+            text = "".join(parts).strip("\n")
+            if text.strip():
+                chunks.append(text)
+    return "\n".join(chunks)
+
+
+def pdf_extract_text(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, text, n_bytes)`` — Arrow-batched PDF text extraction
+    over a binary column (the media-table shape, multimodal.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "text": [
+                        pdf_extract_text_bytes(p or b"")
+                        for p in pdf[payload_col]
+                    ],
+                    "n_bytes": [len(p or b"") for p in pdf[payload_col]],
+                }
+            )
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.mapInPandas(
+        run, f"doc_id {id_type}, text string, n_bytes bigint"
+    )
 
 
 def synthesize_pages(df: DataFrame, text_col: str = "text") -> DataFrame:
