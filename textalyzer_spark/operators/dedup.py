@@ -14,7 +14,7 @@ higher-order-function versions ran interpreted and ~20-50x slower).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from textalyzer_spark.operators.shingles import doc_shingles

@@ -65,9 +65,6 @@ def _loc_schema(df: DataFrame, id_col: str) -> str:
     return f"array<struct<doc_id:{id_type},line:int>>"
 
 
-# kept for callers that build fixture-shaped (string-id) frames
-_LOC = "array<struct<doc_id:string,line:int>>"
-
 
 def duplicate_lines(
     df: DataFrame,

@@ -1,17 +1,24 @@
 """Approximate-nearest-neighbor similarity search over an embedding
 column (``array<float>``).
 
-Two strategies (driver brief):
+The operator family (driver brief):
 
-* :func:`cosine_topk` — brute-force cosine top-k. The query set is
-  broadcast (it is small by definition); the corpus side streams
-  through a single whole-stage-codegen'd projection computing the
-  dot product with higher-order functions — no Python, no shuffle
-  except the final per-query top-k aggregation.
-* :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH
-  (sign bits of projections onto seeded pseudo-random hyperplanes)
-  buckets vectors; only bucket-colliding (query, vector) pairs are
-  scored. Recall < 1 by construction; multiple hash tables raise it.
+* :func:`cosine_topk` — exact baseline: query side broadcast, corpus
+  scored in place, map-side partial top-k so the only exchange is
+  n_partitions x n_queries x k candidate rows.
+* :func:`lsh_cosine_topk` — random-hyperplane LSH buckets (sign-bit
+  signatures via one Arrow numpy matmul); only bucket-colliding
+  (query, vector) pairs are scored. Recall < 1 by construction;
+  multiple hash tables raise it.
+* :func:`ivf_cosine_topk` — IVF: mini k-means coarse quantizer
+  (quantized centroid updates for cross-engine reproducibility),
+  queries probe their n_probe nearest cells.
+* :func:`embedding_near_dup_pairs` / ``_lsh`` — all-pairs exact
+  baseline and the bucketed scale path (id-only bucket join, exact
+  numpy verify, optional mega-bucket guard).
+
+Every signature/assignment stage is Arrow-batched numpy — the
+interpreted-Catalyst-HOF rule (BENCH.md) applies throughout.
 """
 
 from __future__ import annotations
