@@ -88,3 +88,47 @@ def test_duplication_resolved_edge(spark, edge_sf_dir):
     # runs end to end over the weird docs)
     rows = _compare(spark, edge_sf_dir, "duplicate_blocks_resolved")
     assert rows == []
+
+
+@pytest.fixture(scope="module")
+def neardup_sf_dir(spark, tmp_path_factory):
+    """A corpus with PLANTED near-duplicates (the driver tables'
+    near-dups are accidental) — exercises the generated hash-family
+    oracles where their outputs are non-empty by construction."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew strong potions under a pale winter moon near "
+        "the old stone bridge"
+    )
+    rows = []
+    for i in range(20):
+        rows.append((i, base + f" variant token{i}"))
+    # two exact-ish pairs and one shuffled distractor
+    rows.append((100, base + " variant tokenzero"))
+    rows.append((101, " ".join(reversed(base.split()))))
+    for i in range(30):
+        rows.append((200 + i, f"unrelated document number {i} " * 4))
+    d = tmp_path_factory.mktemp("neardup_sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["winnow_pairs", "minhash_lsh", "simhash_pairs", "ngram_jaccard",
+             "duplicate_lines", "fingerprint"]
+)
+def test_hash_oracles_on_planted_neardups(spark, neardup_sf_dir, name):
+    rows = _compare(spark, neardup_sf_dir, name)
+    if name in ("winnow_pairs", "minhash_lsh", "ngram_jaccard", "simhash_pairs"):
+        assert len(rows) > 0, f"{name}: planted near-dups not found"
+
+
+def test_driver_contract_consistency():
+    """Every oracle key has a query; every query is callable; the
+    generated SQL strings are non-trivial."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) == set(qs), set(oracles) ^ set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and len(s) > 100 for s in oracles.values())
