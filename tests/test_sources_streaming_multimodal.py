@@ -262,3 +262,40 @@ def test_iceberg_paths_gated_honestly(spark):
         df = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
         with _pytest.raises(Exception):
             write_documents_iceberg(df, "lake.db.docs_test")
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """Stateful streaming NEAR-dup: a later microbatch's document must
+    match a near-duplicate admitted in an EARLIER batch (state
+    survival), while unrelated docs emit nothing."""
+    from textalyzer_spark.streaming.jobs import (
+        run_to_completion_foreach,
+        streaming_near_dup,
+    )
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    spark.createDataFrame(
+        [("a", base), ("u1", "totally different words about engines here today")],
+        "doc_id string, text string",
+    ).write.mode("append").parquet(inp)
+    rows1 = run_to_completion_foreach(
+        streaming_near_dup(spark, inp, k=3, min_est_jaccard=0.5), ckpt
+    )
+    assert rows1 == []  # nothing similar within batch 1
+
+    # batch 2: one near-dup of "a" (one word changed), one fresh doc
+    near = base.replace("kappa", "kappazz")
+    spark.createDataFrame(
+        [("b", near), ("u2", "yet another unrelated text body entirely")],
+        "doc_id string, text string",
+    ).write.mode("append").parquet(inp)
+    rows2 = run_to_completion_foreach(
+        streaming_near_dup(spark, inp, k=3, min_est_jaccard=0.5), ckpt
+    )
+    matches = {(r["doc_id"], r["dup_of"]) for r in rows2}
+    assert matches == {("b", "a")}
+    assert all(r["est_jaccard"] >= 0.5 for r in rows2)

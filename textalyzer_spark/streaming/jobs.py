@@ -86,6 +86,110 @@ def streaming_first_seen(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def streaming_near_dup(
+    spark: SparkSession,
+    input_dir: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    max_bucket_state: int = 1000,
+) -> DataFrame:
+    """Custom stateful streaming operator: cross-batch NEAR-duplicate
+    detection — the streaming twin of ``minhash_lsh_pairs``.
+
+    Each document's MinHash signature is banded exactly like the
+    batch operator; the stream is keyed by (band, bucket) and the
+    state store holds the signatures previously admitted to that
+    bucket. A newly arriving document that collides with a stored one
+    at estimated jaccard >= ``min_est_jaccard`` (matching-minhash
+    fraction — the standard unbiased estimator; the raw text is NOT
+    kept in state) emits ``(doc_id, dup_of, est_jaccard, band)``.
+    A pair colliding in several bands emits once per band — aggregate
+    downstream with ``groupBy(doc_id, dup_of).max(est_jaccard)`` if a
+    unique row is needed.
+
+    ``max_bucket_state`` caps per-bucket state (the streaming form of
+    the batch operator's mega-bucket guard): once a bucket holds that
+    many signatures, new arrivals still match against them but are no
+    longer added — unbounded state is how streaming dedup dies at
+    10^12 docs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from textalyzer_spark.operators.dedup import minhash_signatures
+
+    rows = num_hashes // bands
+    docs = _stream(spark, input_dir)
+    sigs = minhash_signatures(docs, k=k, num_hashes=num_hashes)
+    buckets = sigs.select(
+        "doc_id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), bnd * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+    def proc(key, pdfs, state):
+        if state.exists:
+            ids, sigs_flat = state.get
+            known_ids = list(ids)
+            known = (
+                np.asarray(sigs_flat, dtype=np.int64).reshape(
+                    len(known_ids), num_hashes
+                )
+                if known_ids
+                else np.empty((0, num_hashes), dtype=np.int64)
+            )
+        else:
+            known_ids, known = [], np.empty((0, num_hashes), dtype=np.int64)
+        out_doc, out_dup, out_est = [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                sig = np.asarray(row["signature"], dtype=np.int64)
+                if len(known_ids):
+                    est = (known == sig[None, :]).mean(axis=1)
+                    best = int(est.argmax())
+                    if est[best] >= min_est_jaccard:
+                        out_doc.append(row["doc_id"])
+                        out_dup.append(known_ids[best])
+                        out_est.append(round(float(est[best]), 4))
+                if len(known_ids) < max_bucket_state:
+                    known_ids.append(row["doc_id"])
+                    known = np.vstack([known, sig[None, :]])
+        state.update((known_ids, [int(x) for x in known.ravel()]))
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "dup_of": out_dup,
+                    "est_jaccard": out_est,
+                    "band": [key[0]] * len(out_doc),
+                }
+            )
+
+    return buckets.groupBy("band", "bucket").applyInPandasWithState(
+        proc,
+        outputStructType=(
+            "doc_id string, dup_of string, est_jaccard double, band int"
+        ),
+        stateStructType="ids array<string>, sigs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_completion_foreach(
     stream_df: DataFrame,
     checkpoint_dir: str,
