@@ -40,3 +40,16 @@ def test_duplication_api(spark):
     content, locs = blocks[0]
     assert content.count("\n") == 2
     assert sorted(locs) == [("f1", 1), ("f2", 2)]
+
+
+def test_duplication_report_files_only(spark):
+    texts = {
+        "a.txt": "one shared line\ntwo shared line\nthree shared line\nx",
+        "b.txt": "one shared line\ntwo shared line\nthree shared line\ny",
+    }
+    from textalyzer_spark.api import duplication_report
+
+    full = duplication_report(spark, texts, min_lines=3)
+    fo = duplication_report(spark, texts, min_lines=3, files_only=True)
+    assert "a.txt:1" in fo and "b.txt:1" in fo
+    assert "one shared line" in full and "one shared line" not in fo

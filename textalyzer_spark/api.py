@@ -58,3 +58,19 @@ def duplication(
         (r["content"], [(l["doc_id"], l["line"]) for l in r["locations"]])
         for r in duplicate_blocks(df, min_lines=min_lines).collect()
     ]
+
+
+def duplication_report(
+    spark: SparkSession,
+    texts: dict[str, str],
+    min_lines: int = 3,
+    files_only: bool = False,
+) -> str:
+    """Rendered duplication output (the reference CLI's duplication
+    command, output.rs:38-127 incl. the --files-only mode) over named
+    texts — resolve, then format."""
+    from textalyzer_spark.formatting import format_duplications
+
+    return format_duplications(
+        duplication(spark, texts, min_lines=min_lines), files_only=files_only
+    )
