@@ -338,9 +338,11 @@ def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cell probe) ANN top-5; value-exact DuckDB twin in
-    oracles.ivf_cosine_topk_sql (the mini k-means is unrolled into
-    assign/update CTEs; quantized centroid updates pin the float
-    semantics cross-engine). Recall vs brute force pytest-verified."""
+    oracles.ivf_cosine_topk_sql (the sample-restricted k-means is
+    unrolled into assign/update CTEs; quantized centroid updates pin
+    the float semantics cross-engine). sample_size=256 < the sf0.01
+    corpus, so the gate exercises the bounded-sample training path.
+    Recall vs brute force pytest-verified."""
     from textalyzer_spark.operators.similarity import ivf_cosine_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -348,7 +350,9 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return ivf_cosine_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+    return ivf_cosine_topk(
+        emb, queries, k=5, n_clusters=16, n_probe=4, sample_size=256
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +425,8 @@ def oracle_sql() -> dict[str, str]:
             k=5, dim=64, n_bits=8, n_tables=4, seed=42, query_mod=50
         ),
         "ivf_cosine_topk": _o.ivf_cosine_topk_sql(
-            k=5, n_clusters=16, n_probe=4, iters=3, query_mod=50
+            k=5, n_clusters=16, n_probe=4, iters=3, sample_size=256,
+            query_mod=50
         ),
         "embedding_near_dup_lsh": _o.embedding_near_dup_lsh_sql(
             threshold=0.35, dim=64, n_bits=4, n_tables=16, seed=42

@@ -23,62 +23,65 @@ interpreted-Catalyst-HOF rule (BENCH.md) applies throughout.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns (JVM-side)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+def _score_pairs(
+    df: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """The shared Arrow-batched numpy cosine scorer: given candidate
+    rows carrying two vectors, emit ``(left_id, right_id, cosine)``
+    with cosine rounded to 4 decimals (np.round — ONE rounding for
+    every similarity path, brute and bucketed alike, so a boundary
+    cosine can never pass one operator and fail its twin).
 
-
-def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-PARTITION top-k per query over ``(query_id, vec_id,
-    cosine)`` — the map-side combine of a distributed top-k. Each scan
-    partition emits at most n_queries x k rows, so the final exact
-    window sees n_partitions x n_queries x k rows instead of the full
-    scored set (at 10^12 corpus rows: the difference between a
-    terabyte-scale sort exchange and a few megabytes).
-
-    Selection uses the same pinned total order as the final rank
-    (cosine desc, vec_id asc): any global top-k row is necessarily in
-    its partition's top-k under the same comparator, so the result is
-    exact, not approximate.
+    One einsum per Arrow batch replaces the per-pair interpreted-HOF
+    evaluation that was the dominant cost of candidate verification
+    at sf0.1 (BENCH.md: the near-dup verify rewrite cut 12.9->3.2 s).
+    ``threshold`` filters batch-side so below-threshold candidates
+    never leave the python worker.
     """
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
-    id_type = dict(scored.dtypes)["vec_id"]
-    q_type = dict(scored.dtypes)["query_id"]
+    dtypes = dict(df.dtypes)
+    lt, rt = dtypes[left_id], dtypes[right_id]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: pd.DataFrame | None = None
         for pdf in batches:
-            acc = pdf if acc is None else pd.concat((acc, pdf))
-            # keep the accumulator bounded between batches
-            acc = (
-                acc.sort_values(
-                    ["query_id", "cosine", "vec_id"],
-                    ascending=[True, False, True],
-                )
-                .groupby("query_id", sort=False)
-                .head(k)
+            if not len(pdf):
+                continue
+            ma = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[left_vec]]
             )
-        if acc is not None and len(acc):
-            yield acc
+            mb = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[right_vec]]
+            )
+            dots = np.einsum("ij,ij->i", ma, mb)
+            na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+            nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            cos = np.round(dots / (na * nb), 4)
+            if threshold is not None:
+                keep = cos >= threshold
+                pdf, cos = pdf[keep], cos[keep]
+            yield pd.DataFrame(
+                {
+                    left_id: pdf[left_id],
+                    right_id: pdf[right_id],
+                    "cosine": cos,
+                }
+            )
 
-    return scored.mapInPandas(
-        run, f"query_id {q_type}, vec_id {id_type}, cosine double"
-    )
+    return df.mapInPandas(run, f"{left_id} {lt}, {right_id} {rt}, cosine double")
 
 
 def cosine_topk(
@@ -95,33 +98,98 @@ def cosine_topk(
     so results are reproducible across engines. Self-matches
     (query_id == vec_id) are excluded.
 
-    The corpus never shuffles for the join: the query side is
-    broadcast and each corpus partition emits its local scores, then
-    :func:`_partial_topk` combines map-side so the only exchange is
-    n_partitions x n_queries x k candidate rows — the final per-query
-    window is exact and tiny at any corpus size.
+    The corpus never shuffles: the query matrix is collected to the
+    driver (bounded — an ANN query set is small by definition, n_q x
+    dim doubles; the previous design already broadcast it) and shipped
+    in the task closure, each corpus partition scores its rows with
+    ONE (batch x dim) @ (dim x n_q) numpy matmul per Arrow batch and
+    reduces to a local top-k, so the only exchange is n_partitions x
+    n_queries x k candidate rows. The final per-query window is exact
+    and tiny at any corpus size. (The earlier crossJoin +
+    interpreted-HOF formulation evaluated 2*dim ops per pair outside
+    codegen — the engine's no-interpreted-HOF rule, BENCH.md.)
     """
-    q = queries.select(
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(vectors.dtypes)[id_col]
+    q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).collect()
+    schema = f"query_id {q_type}, vec_id {id_type}, cosine double"
+    if not q_rows:
+        return (
+            vectors.sparkSession.createDataFrame([], schema)
+            .withColumn("rank", F.lit(1))
+        )
+    q_ids = np.asarray([r["query_id"] for r in q_rows])
+    q_mat = np.stack(
+        [np.asarray(r["q_vec"], dtype=np.float64) for r in q_rows]
     )
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v_vec"),
     )
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine"),
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch top-k candidates, reduced again at partition end:
+        # partition output is exactly n_q x k rows regardless of size
+        cands: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = np.stack(
+                [
+                    np.asarray(x, dtype=np.float64)
+                    for x in pdf["v_vec"].to_numpy()[order]
+                ]
+            )
+            v_norm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            cos = np.round(
+                (mat @ q_mat.T) / (v_norm[:, None] * q_norm[None, :]), 4
+            )
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            kk = min(k, len(ids))
+            # rows are vec_id-ascending, so a stable sort on -cos
+            # reproduces the pinned (cosine desc, vec_id asc) order
+            top = np.argsort(-cos, axis=0, kind="stable")[:kk]
+            sel = np.take_along_axis(cos, top, axis=0)
+            cands.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, kk),
+                        "vec_id": ids[top].ravel(order="F"),
+                        "cosine": sel.ravel(order="F"),
+                    }
+                )
+            )
+        if not cands:
+            return
+        out = pd.concat(cands, ignore_index=True)
+        out = out[np.isfinite(out["cosine"])]
+        out = (
+            out.sort_values(
+                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
         )
-    )
+        if len(out):
+            yield out
+
+    scored = v.mapInPandas(run, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        _partial_topk(scored, k)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
@@ -141,6 +209,9 @@ def embedding_near_dup_pairs(
     measured against). The join is a self-cross restricted by id
     ordering; at 10^12 vectors use :func:`lsh_cosine_topk` buckets
     as the candidate generator and this only as the verifier.
+    Scoring goes through :func:`_score_pairs` — the SAME numpy
+    kernel and rounding as the LSH scale path, so the two operators
+    agree on every boundary cosine by construction.
     """
     v = vectors.select(
         F.col(id_col).alias("vid"),
@@ -148,15 +219,10 @@ def embedding_near_dup_pairs(
     )
     a = v.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va"))
     b = v.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", "va", "vb"
     )
+    return _score_pairs(pairs, "vec_a", "vec_b", "va", "vb", threshold=threshold)
 
 
 def embedding_near_dup_pairs_lsh(
@@ -190,13 +256,10 @@ def embedding_near_dup_pairs_lsh(
     lands whole in one bucket of every table and fans out f^2/2 rows
     per table. Default OFF here because the registered query's tiny
     n_bits=4 buckets at low threshold would trip any useful cap; set
-    it (e.g. 10_000) on duplicate-heavy production corpora.
+    it (e.g. 10_000) on duplicate-heavy production corpora
+    (tests/test_dedup_similarity.py plants such a family and
+    demonstrates both the blowup and the guard).
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     vs = _hyperplane_buckets(
         vectors.withColumnRenamed(id_col, "vec_id"),
         "vec_id", dim, n_bits, n_tables, seed, vec_col,
@@ -237,35 +300,13 @@ def embedding_near_dup_pairs_lsh(
         )
     )
 
-    # exact verify in an Arrow-batched numpy pass: on low-threshold /
+    # exact verify via the shared numpy scorer: on low-threshold /
     # near-uniform corpora the bucket join can emit millions of
     # candidates, and the interpreted-HOF cosine (2*dim ops per pair,
     # outside codegen) was the wall-time hot spot at sf0.1
-    id_type = dict(vectors.withColumnRenamed(id_col, "vec_id").dtypes).get(
-        "vec_id", "bigint"
-    )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ma = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["va"]])
-            mb = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vb"]])
-            dots = np.einsum("ij,ij->i", ma, mb)
-            na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-            nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-            cos = np.round(dots / (na * nb), 4)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"][keep],
-                    "vec_b": pdf["vec_b"][keep],
-                    "cosine": cos[keep],
-                }
-            )
-
-    return cands.mapInPandas(
-        score, f"vec_a {id_type}, vec_b {id_type}, cosine double"
+    return _score_pairs(
+        cands.select("vec_a", "vec_b", "va", "vb"),
+        "vec_a", "vec_b", "va", "vb", threshold=threshold,
     )
 
 
@@ -308,13 +349,80 @@ def _assign_nearest(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def _quantize(x: float) -> float:
-    """floor(x*1e6 + 0.5)/1e6 — a rounding both engines compute
-    bit-identically (Python round() is banker's, DuckDB round() is
-    half-away; floor is floor everywhere)."""
-    import math
+def _kmeans_fit_sample(
+    sample: "object", n_clusters: int, iters: int
+) -> list[list[float]]:
+    """Driver-side mini k-means over the (vec_id-ordered) sample
+    matrix: assignment by cosine with ties -> LARGEST cluster index,
+    mean update quantized per dim as floor(x*1e6 + 0.5)/1e6 (a
+    rounding both engines compute bit-identically: Python round() is
+    banker's, DuckDB round() is half-away, floor is floor
+    everywhere), empty clusters keep their previous centroid — the
+    exact semantics the DuckDB twin unrolls as CTEs, now on
+    n_sample x dim floats instead of three full-corpus posexplode
+    shuffles.
+    """
+    import numpy as np
 
-    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+    cents = np.stack([sample[i] for i in range(n_clusters)])
+    s_norm = np.sqrt(np.einsum("ij,ij->i", sample, sample))
+    for _ in range(iters):
+        c_norm = np.sqrt(np.einsum("ij,ij->i", cents, cents))
+        sims = (sample @ cents.T) / (s_norm[:, None] * c_norm[None, :])
+        cluster = n_clusters - 1 - np.argmax(sims[:, ::-1], axis=1)
+        new_cents = cents.copy()
+        for c in range(n_clusters):
+            members = sample[cluster == c]
+            if len(members):
+                new_cents[c] = np.floor(
+                    members.mean(axis=0) * 1_000_000 + 0.5
+                ) / 1_000_000
+        cents = new_cents
+    return [list(row) for row in cents]
+
+
+def _probe_cells(
+    q: DataFrame, centroids: list[list[float]], n_probe: int
+) -> DataFrame:
+    """``(query_id, q_vec, cluster)`` — each query's n_probe nearest
+    cells by UNROUNDED cosine, ties -> larger cluster index (the
+    pinned ``ORDER BY sim DESC, cluster DESC`` the oracle replays).
+    One (batch x n_clusters) matmul per Arrow batch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+    n_clusters = len(centroids)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["q_vec"]]
+            )
+            q_norm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            sims = (mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+            # stable argsort on the cluster-reversed axis: equal sims
+            # keep the FIRST reversed position = the largest index
+            idx = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, :n_probe]
+            cluster = (n_clusters - 1 - idx).astype(np.int32)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(n_probe),
+                    "q_vec": pdf["q_vec"].to_numpy().repeat(n_probe),
+                    "cluster": cluster.ravel(),
+                }
+            )
+
+    q_type = dict(q.dtypes)["query_id"]
+    return q.mapInPandas(
+        run, f"query_id {q_type}, q_vec array<double>, cluster int"
+    )
 
 
 def ivf_cosine_topk(
@@ -324,6 +432,7 @@ def ivf_cosine_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     iters: int = 3,
+    sample_size: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -332,49 +441,38 @@ def ivf_cosine_topk(
     query scores only the vectors in its ``n_probe`` nearest cells.
     Output schema/ordering identical to :func:`cosine_topk`.
 
-    The quantizer is mini k-means on the DataFrame: centroids live on
-    the driver (n_clusters x dim floats — tiny), assignment is a
-    broadcast argmax projection, the update step is one groupBy over
-    (cluster, dim). Scored fraction ~= n_probe / n_clusters; recall
-    depends on how clustered the corpus is (pytest-checked vs brute
-    force).
+    The quantizer is fit on a BOUNDED deterministic sample — the
+    ``sample_size`` smallest vec_ids, a distributed TakeOrdered, then
+    driver-side numpy k-means (:func:`_kmeans_fit_sample`) on
+    n_sample x dim floats. Fitting a 16-centroid coarse quantizer
+    never needs the full corpus; the previous formulation ran three
+    full-corpus ``posexplode(vec)`` shuffles (64x row amplification
+    each) just to average 16 cells — at 100x scale the training
+    dwarfed the search it accelerated. Now the corpus is touched by
+    exactly ONE distributed pass (:func:`_assign_nearest`).
 
-    Updated centroids are quantized to 1e-6 (:func:`_quantize`) each
-    iteration: floating-point partial-sum order in a distributed avg
-    is nondeterministic (shuffle-fetch order), so unquantized
-    centroids differ in the last ulp run-to-run AND engine-to-engine.
-    Quantization makes the quantizer reproducible — and gives the
-    whole operator a value-exact DuckDB twin (oracles.py unrolls the
-    same k-means as chained CTEs). 1e-6 jitter on a coarse quantizer
-    is semantically nil.
+    Centroid updates are quantized to 1e-6 (floor(x*1e6 + 0.5)/1e6):
+    floating-point sum order differs numpy-vs-DuckDB, so unquantized
+    centroids would differ in the last ulp engine-to-engine.
+    Quantization pins them — the DuckDB twin (oracles.py) unrolls the
+    same sample-restricted k-means as chained CTEs and stays
+    value-exact. 1e-6 jitter on a coarse quantizer is semantically
+    nil. Scored fraction ~= n_probe / n_clusters; recall vs brute
+    force is pytest-checked.
     """
+    import numpy as np
+
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    # deterministic init: first n_clusters vectors by id
-    init = v.orderBy("vec_id").limit(n_clusters).collect()
-    centroids = [list(r["vec"]) for r in init]
-
-    for _ in range(iters):
-        assigned = _assign_nearest(v, centroids)
-        sums = (
-            assigned.select(
-                "cluster", F.posexplode("vec").alias("dim", "val")
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("mean"))
-            .collect()
-        )
-        new_cents = {}
-        for r in sums:
-            new_cents.setdefault(r["cluster"], {})[r["dim"]] = _quantize(r["mean"])
-        centroids = [
-            [new_cents[c][d] for d in sorted(new_cents[c])]
-            if c in new_cents
-            else centroids[c]
-            for c in range(n_clusters)
-        ]
+    # deterministic bounded sample: smallest sample_size ids (top-N,
+    # not a full sort); driver holds sample_size x dim doubles
+    srows = v.orderBy("vec_id").limit(sample_size).collect()
+    sample = np.stack(
+        [np.asarray(r["vec"], dtype=np.float64) for r in srows]
+    )
+    centroids = _kmeans_fit_sample(sample, n_clusters, iters)
 
     assigned = _assign_nearest(v, centroids)
 
@@ -382,36 +480,16 @@ def ivf_cosine_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    # n_probe nearest cells per query: rank the per-centroid sims
-    sims = [
-        _cosine(F.col("q_vec"), F.array(*[F.lit(c) for c in cen])).alias(f"_s{i}")
-        for i, cen in enumerate(centroids)
-    ]
-    q_cells = q.select("query_id", "q_vec", *sims)
-    cell_structs = F.array(
-        *[
-            F.struct(F.col(f"_s{i}").alias("sim"), F.lit(i).alias("cluster"))
-            for i in range(n_clusters)
-        ]
-    )
-    q_probed = q_cells.select(
-        "query_id",
-        "q_vec",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(cell_structs)), 1, n_probe)
-        ).alias("cell"),
-    ).select("query_id", "q_vec", F.col("cell.cluster").alias("cluster"))
+    q_probed = _probe_cells(q, centroids, n_probe)
 
-    scored = (
+    cands = (
         assigned.join(F.broadcast(q_probed), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_cosine(F.col("q_vec"), F.col("vec")), 4).alias("cosine"),
-        )
-        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", "q_vec", "vec")
     )
+    scored = _score_pairs(
+        cands, "query_id", "vec_id", "q_vec", "vec"
+    ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -550,11 +628,7 @@ def lsh_cosine_topk(
         )
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "vec_id",
-        F.round(_cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine"),
-    )
+    scored = _score_pairs(cands, "query_id", "vec_id", "q_vec", "v_vec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

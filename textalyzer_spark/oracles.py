@@ -554,25 +554,25 @@ _COS = (
 )
 
 
-def _assign_cte(prev_c: str, name: str) -> str:
+def _assign_cte(prev_c: str, name: str, source: str = "v") -> str:
     """Nearest-centroid assignment: argmax cosine, ties -> larger
-    cluster index (mirrors Spark's array_max over (sim, cluster)
-    structs)."""
+    cluster index (mirrors the engine's numpy reversed-argmax
+    tiebreak)."""
     cos = _COS.format(a="v.e", b="c.ce")
     return f"""{name} AS (
           SELECT vec_id, e, cluster FROM (
             SELECT v.vec_id, v.e, c.cluster,
                    row_number() OVER (PARTITION BY v.vec_id
                      ORDER BY {cos} DESC, c.cluster DESC) AS rn
-            FROM v CROSS JOIN {prev_c} c
+            FROM {source} v CROSS JOIN {prev_c} c
           ) WHERE rn = 1
         )"""
 
 
 def _update_cte(assign: str, prev_c: str, uname: str, cname: str) -> str:
     """Mean-update with the cross-engine quantization floor(x*1e6+0.5)
-    /1e6 (similarity._quantize); empty clusters keep their previous
-    centroid."""
+    /1e6 (similarity._kmeans_fit_sample); empty clusters keep their
+    previous centroid."""
     return f"""{uname} AS (
           SELECT cluster, list(m ORDER BY dim) AS ce FROM (
             SELECT cluster, dim, floor(avg(val)*1000000 + 0.5)/1000000 AS m
@@ -593,22 +593,28 @@ def ivf_cosine_topk_sql(
     n_clusters: int = 16,
     n_probe: int = 4,
     iters: int = 3,
+    sample_size: int = 256,
     query_mod: int = 50,
 ) -> str:
     """Value-exact twin of ``ivf_cosine_topk`` over the embeddings
-    table: the driver-loop mini k-means is unrolled into ``iters``
-    assign/update CTE pairs (deterministic init = first n_clusters
-    vectors by id, quantized mean updates, pinned argmax tiebreaks)."""
+    table: the driver-side sample k-means is unrolled into ``iters``
+    assign/update CTE pairs over the SAME bounded sample (the
+    sample_size smallest vec_ids; init = its first n_clusters
+    vectors, quantized mean updates, pinned argmax tiebreaks); only
+    the final assignment scans the full table — mirroring the
+    engine's single distributed pass."""
     ctes = [
         f"""v AS (
           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), vs AS (
+          SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {sample_size}
         ), c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS ce
-          FROM v ORDER BY vec_id LIMIT {n_clusters}
+          FROM vs ORDER BY vec_id LIMIT {n_clusters}
         )"""
     ]
     for i in range(1, iters + 1):
-        ctes.append(_assign_cte(f"c{i - 1}", f"a{i}"))
+        ctes.append(_assign_cte(f"c{i - 1}", f"a{i}", source="vs"))
         ctes.append(_update_cte(f"a{i}", f"c{i - 1}", f"u{i}", f"c{i}"))
     final_c = f"c{iters}"
     ctes.append(_assign_cte(final_c, "af"))
