@@ -11,14 +11,16 @@ flat ``documents``/``embeddings`` parquet tables.
 
 Tokenizer/oracle scope note: the engine tokenizes on the full Unicode
 alphabetic class (Java \\p{IsAlphabetic} / Python [^\\W\\d_], matching
-the reference's char::is_alphabetic); the DuckDB oracles use
-``[a-z]+``. The two agree exactly on ASCII corpora — which the driver
-tables are (verified: zero non-ASCII rows at every sf). On a
-non-ASCII corpus the ENGINE output is the intended behavior and the
-oracle, not the engine, would need the corpus's script ranges added
-(three regex engines' Unicode tables cannot be byte-identical in
-general; Unicode fixtures are pytest-checked instead —
-tests/test_tokens.py, tests/test_frequency.py).
+the reference's char::is_alphabetic). The word_frequency oracle uses
+a GENERATED token class (oracles.alpha_token_regex — Latin scripts
+through 0x024F, extendable), pytest-proven on accented fixtures
+(tests/test_oracle_edge_corpus.py); the remaining text oracles use
+``[a-z]+``, exact on ASCII corpora — which the driver tables are
+(verified: zero non-ASCII rows at every sf). A non-ASCII production
+corpus would regenerate those classes the same way (three regex
+engines' full-Unicode tables cannot be byte-identical in general;
+Unicode fixtures are pytest-checked instead — tests/test_tokens.py,
+tests/test_frequency.py).
 """
 
 from __future__ import annotations
@@ -440,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "duplicate_lines": _o.duplicate_lines_sql(min_bytes=6),
         "html_main_content": _o.html_main_content_sql(),
+        "word_frequency": _o.word_frequency_sql(),
     }
     return generated | {
         "char_frequency": """
@@ -510,26 +513,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1, 2
             ORDER BY 1, 2
         """,
-        "word_frequency": """
-            SELECT w AS word, count(*) AS count
-            FROM (
-              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-              FROM documents
-            )
-            GROUP BY w
-            ORDER BY count DESC, word ASC
-        """,
         "line_length": """
             -- mirrors split_lines (Rust str::lines semantics): strip ONE
-            -- trailing newline, emit zero lines for the then-empty doc,
-            -- and drop a trailing carriage return per line (CRLF)
-            SELECT CAST(length(regexp_replace(raw_line, chr(13) || '$', ''))
-                        AS INTEGER) AS length,
+            -- trailing terminator (LF or CRLF), emit zero lines for the
+            -- then-empty doc, and drop a trailing carriage return ONLY
+            -- from \\n-terminated lines (every split element except the
+            -- last; a bare final CR is part of the last line's content)
+            SELECT CAST(CASE WHEN i < n
+                             THEN length(regexp_replace(raw_line,
+                                                        chr(13) || '$', ''))
+                             ELSE length(raw_line) END AS INTEGER) AS length,
                    count(*) AS count
             FROM (
-              SELECT unnest(string_split(regexp_replace(text, '\n$', ''), chr(10)))
-                       AS raw_line
-              FROM documents WHERE length(text) > 0
+              SELECT unnest(ls) AS raw_line,
+                     generate_subscripts(ls, 1) AS i,
+                     len(ls) AS n
+              FROM (
+                SELECT string_split(
+                         regexp_replace(text,
+                           chr(13) || '?' || chr(10) || '$', ''),
+                         chr(10)) AS ls
+                FROM documents WHERE length(text) > 0
+              )
             )
             GROUP BY 1
             ORDER BY 1

@@ -13,14 +13,22 @@ from textalyzer_spark.operators.lines import split_lines
 
 
 def rust_lines_model(text: str) -> list[str]:
-    """Rust str::lines: split on \\n, swallow one trailing \\r per
-    line, no final empty line after a trailing \\n."""
+    """Rust str::lines: split on \\n, swallow a trailing \\r only as
+    part of a \\r\\n terminator, no final empty line after a trailing
+    \\n. A BARE final \\r (text not \\n-terminated) is KEPT — std
+    docs: "foo\\r\\nbar\\n\\nbaz\\r" yields last line "baz\\r"."""
     if text == "":
         return []
+    ends_nl = text.endswith("\n")
     parts = text.split("\n")
-    if parts and parts[-1] == "":
+    if ends_nl:
         parts = parts[:-1]
-    return [p[:-1] if p.endswith("\r") else p for p in parts]
+    return [
+        p[:-1]
+        if (i < len(parts) - 1 or ends_nl) and p.endswith("\r")
+        else p
+        for i, p in enumerate(parts)
+    ]
 
 
 _TEXT = st.lists(

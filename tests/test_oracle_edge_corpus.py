@@ -15,7 +15,7 @@ import __spark_entry__ as entrymod
 EDGE_DOCS = [
     (1, "plain single line"),
     (2, ""),                      # empty doc -> zero lines
-    (3, "\n"),                    # bare newline -> zero lines after strip
+    (3, "\n"),                    # bare newline -> ONE empty line
     (4, "alpha beta\n"),          # trailing newline -> one line
     (5, "a\r\nbb\r\nccc"),        # CRLF terminators -> \r stripped
     (6, "x\n\n\ny"),              # blank-line runs kept (len 0 lines)
@@ -24,6 +24,10 @@ EDGE_DOCS = [
     (9, "tail\n\n"),             # strip ONE trailing \n -> ["tail", ""]
     (10, "\n\n"),                # -> ["", ""] (Java $-vs-\z regression)
     (11, "cr\r\r\nnext"),        # line "cr\r\r" loses exactly one \r
+    (12, "bare tail\r"),         # BARE final \r kept (str::lines; ADVICE r2)
+    (13, "keep\r\r\nlast\r"),    # \n-terminated loses ONE \r, final keeps
+    (14, "crlf end\r\n"),        # \r\n terminator stripped as a unit
+    (15, "é häll ünïcode wörd\nzwei wörter"),  # Latin-accent tokens
 ]
 
 
@@ -65,10 +69,17 @@ def test_line_length_edge_semantics(spark, edge_sf_dir):
     # Rust str::lines, doc 9's trailing pair = one, doc 10 = two
     assert by_length[0] == 6
     # doc 2 (empty) contributes no lines:
-    # 1 + 0 + 1 + 1 + 3 + 4 + 2 + 2 + 2 + 2 + 2
-    assert sum(count for count, _ in rows) == 20
+    # 1 + 0 + 1 + 1 + 3 + 4 + 2 + 2 + 2 + 2 + 2 + 1 + 2 + 1 + 2
+    assert sum(count for count, _ in rows) == 26
     # doc 11: "cr\r\r" strips exactly one trailing \r -> length 3
     assert by_length.get(3, 0) >= 1
+    # doc 12: bare final \r is CONTENT -> "bare tail\r" = length 10
+    # (str::lines keeps it; the old engine stripped it);
+    # doc 13: "keep\r\r" -> "keep\r" (5) and final "last\r" kept (5);
+    # doc 14: the \r\n terminator goes as a unit -> "crlf end" = 8
+    assert by_length.get(10, 0) >= 1
+    assert by_length.get(5, 0) >= 2
+    assert by_length.get(8, 0) >= 1
 
 
 def test_word_frequency_edge(spark, edge_sf_dir):
@@ -76,6 +87,12 @@ def test_word_frequency_edge(spark, edge_sf_dir):
     rows = _compare(spark, edge_sf_dir, "word_frequency")
     counts = {w: c for c, w in rows}
     assert counts["word"] == 3
+    # accented tokens (doc 15) agree engine-vs-oracle: the oracle's
+    # token class is GENERATED from the engine's alphabet
+    # (oracles.alpha_token_regex), not hand-written [a-z]+
+    assert counts["wörter"] == 1
+    assert counts["é"] == 1
+    assert counts["ünïcode"] == 1
 
 
 def test_display_width_edge(spark, edge_sf_dir):

@@ -20,15 +20,28 @@ from pyspark.sql import functions as F
 def split_lines(text: Column | str) -> Column:
     """array<string> of lines, Rust ``str::lines`` semantics."""
     c = F.col(text) if isinstance(text, str) else text
-    # strip ONE trailing \n so split() doesn't emit a final "" element.
-    # \z, not $: Java's $ also matches BEFORE a final line terminator,
-    # so "\n$" on "\n\n" would strip BOTH newlines (hypothesis-found);
-    # DuckDB's RE2 $ is already end-of-text-only
-    stripped = F.regexp_replace(c, r"\n\z", "")
+    # strip ONE trailing terminator (\n or \r\n) so split() doesn't
+    # emit a final "" element. \z, not $: Java's $ also matches BEFORE
+    # a final line terminator, so "\n$" on "\n\n" would strip BOTH
+    # newlines (hypothesis-found); DuckDB's RE2 $ is end-of-text-only
+    stripped = F.regexp_replace(c, r"\r?\n\z", "")
     arr = F.split(stripped, r"\n")
-    # str::lines treats \r\n as a terminator too: drop a trailing \r
-    # (same \z reasoning: "a\r\r" must lose exactly one \r)
-    arr = F.transform(arr, lambda l: F.regexp_replace(l, r"\r\z", ""))
+    # str::lines swallows \r ONLY as part of a \r\n terminator: every
+    # element except the last was \n-terminated in `stripped`, so
+    # drop one trailing \r there; the LAST element never was — a bare
+    # trailing \r stays ("foo\r\nbar\n\nbaz\r".lines() ends "baz\r",
+    # std docs; ADVICE round-2). Strip-all + re-append the untouched
+    # last element, NOT a per-element indexed lambda (which would
+    # re-evaluate the split per element — the Catalyst shared-
+    # subexpression trap)
+    arr = F.concat(
+        F.slice(
+            F.transform(arr, lambda l: F.regexp_replace(l, r"\r\z", "")),
+            1,
+            F.size(arr) - 1,
+        ),
+        F.array(F.element_at(arr, -1)),
+    )
     # only a truly EMPTY document has zero lines (split("") == [""]);
     # the emptiness check must look at the ORIGINAL text — "\n" is one
     # empty line in Rust ("\n".lines() == [""]), found by the

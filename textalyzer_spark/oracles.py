@@ -23,6 +23,70 @@ def _values_rows(rows: list[tuple]) -> str:
 
 
 # --------------------------------------------------------------------------
+# Tokenizer alphabet (functions/tokenize.py)
+# --------------------------------------------------------------------------
+
+
+def alpha_token_regex(max_cp: int = 0x024F) -> str:
+    """RE2 token regex mirroring the registered queries' JVM
+    tokenizer (tokens_col, Java ``\\p{IsAlphabetic}``) — the
+    wcwidth-range-table technique applied to the tokenizer, so a
+    non-ASCII corpus cannot silently diverge engine-vs-oracle.
+
+    Membership is generated from ``str.isalpha`` (Unicode general
+    category L*), which equals Java's IsAlphabetic on every codepoint
+    <= the default ``max_cp`` (no Nl / Other_Alphabetic codepoints
+    exist below 0x0250; note ``[^\\W\\d_]`` would NOT do — it admits
+    superscripts/fractions like U+00B2 that Java excludes). Coverage
+    is bounded at ``max_cp`` (default 0x024F: Basic Latin through
+    Latin Extended-B) — raise it to extend to other scripts at the
+    cost of a longer class, auditing the Nl/Other_Alphabetic gap
+    first. On pure-ASCII corpora the generated class reduces to
+    exactly the rows ``[a-z]+`` produced, so swapping it into a
+    registered oracle is behavior-preserving for the driver tables.
+    """
+    ranges: list[tuple[int, int]] = []
+    cp = 0
+    while cp <= max_cp:
+        if chr(cp).isalpha():
+            start = cp
+            while cp <= max_cp and chr(cp).isalpha():
+                cp += 1
+            ranges.append((start, cp - 1))
+        else:
+            cp += 1
+
+    def fmt(c: int) -> str:
+        ch = chr(c)
+        if ch in "[]^-\\":
+            return "\\" + ch
+        if 0x20 <= c < 0x7F:
+            return ch
+        return f"\\x{{{c:04X}}}"
+
+    body = "".join(
+        fmt(a) + (("-" + fmt(b)) if b > a else "") for a, b in ranges
+    )
+    return f"[{body}]+"
+
+
+def word_frequency_sql() -> str:
+    """Twin of ``word_frequency`` with the generated token alphabet —
+    identical to the old hand-written ``[a-z]+`` oracle on ASCII,
+    and correct on Latin-script accented corpora too."""
+    rx = alpha_token_regex()
+    return f"""
+        SELECT w AS word, count(*) AS count
+        FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '{rx}')) AS w
+          FROM documents
+        )
+        GROUP BY w
+        ORDER BY count DESC, word ASC
+    """
+
+
+# --------------------------------------------------------------------------
 # MinHash + banded LSH (operators/dedup.py: minhash_lsh_pairs)
 # --------------------------------------------------------------------------
 
@@ -679,13 +743,25 @@ def line_display_width_sql() -> str:
         WITH widths(lo, w) AS (VALUES
       {rows}
         ), lines AS (
+          -- str::lines: strip one trailing LF/CRLF terminator; a \\r is
+          -- swallowed only from \\n-terminated elements (i < n), never
+          -- from a bare final \\r (mirrors operators/lines.split_lines)
           SELECT row_number() OVER () AS line_id,
-                 regexp_replace(raw_line, chr(13) || '$', '') AS line
+                 CASE WHEN i < n
+                      THEN regexp_replace(raw_line, chr(13) || '$', '')
+                      ELSE raw_line END AS line
           FROM (
-            SELECT unnest(string_split(regexp_replace(text, '\\n$', ''), chr(10)))
-                     AS raw_line
-            FROM documents
-            WHERE length(text) > 0
+            SELECT unnest(ls) AS raw_line,
+                   generate_subscripts(ls, 1) AS i,
+                   len(ls) AS n
+            FROM (
+              SELECT string_split(
+                       regexp_replace(text,
+                         chr(13) || '?' || chr(10) || '$', ''),
+                       chr(10)) AS ls
+              FROM documents
+              WHERE length(text) > 0
+            )
           )
         ), chars AS (
           SELECT line_id,
