@@ -142,6 +142,79 @@ def test_hash_oracles_on_planted_neardups(spark, neardup_sf_dir, name):
         assert len(rows) > 0, f"{name}: planted near-dups not found"
 
 
+def _mk_line(tag: str, width: int) -> str:
+    """One 8-token line (single-space separated): a FIXED POINT of the
+    registered pipeline's newline-every-8-tokens synthesis, so the
+    planted line structure survives _line_structured_docs verbatim."""
+    return " ".join(f"{tag}{i:02d}" + "x" * width for i in range(8))
+
+
+@pytest.fixture(scope="module")
+def claimgate_sf_dir(spark, tmp_path_factory):
+    """A corpus where the reference's insert-then-gate resolution
+    semantics (duplication.rs:315-317: a REJECTED block's lone claim
+    still blocks later blocks once any block is accepted) changes the
+    answer — the exact parity gap ADVICE round-2 flagged.
+
+    Pinned processing order (n_nonempty desc, bytes desc, content
+    asc): alpha(ABCD, accepted) -> beta(BCD, one free location at
+    d3:1-3, REJECTED but claims) -> gamma(KLM, accepted, arming the
+    claim) -> delta(CDS at d3:2-4 + d6:1-3) whose d3 location now
+    hits beta's armed cells, leaving one valid location => delta is
+    suppressed. The old accepted-claims-only semantics emitted it.
+    """
+    A = _mk_line("aa", 1)
+    B = _mk_line("bb", 8)   # longest: beta sorts before gamma
+    C = _mk_line("cc", 2)
+    D = _mk_line("dd", 2)
+    S = _mk_line("ss", 0)   # shortest: delta sorts after gamma
+    K, L, M = (_mk_line(t, 3) for t in ("kk", "ll", "mm"))
+    assert len(B + C + D) > len(K + L + M) > len(C + D + S)
+    docs = [
+        (1, "\n".join([A, B, C, D])),
+        (2, "\n".join([A, B, C, D])),
+        (3, "\n".join([B, C, D, S])),
+        (4, "\n".join([K, L, M])),
+        (5, "\n".join([K, L, M])),
+        (6, "\n".join([C, D, S])),
+    ]
+    d = tmp_path_factory.mktemp("claimgate_sf")
+    spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_resolution_insert_then_gate(spark, claimgate_sf_dir):
+    # engine and recursive-CTE oracle agree on the armed-claim corpus
+    rows = _compare(spark, claimgate_sf_dir, "duplicate_blocks_resolved")
+    contents = {c for c, _, _ in rows}
+    A = _mk_line("aa", 1)
+    C = _mk_line("cc", 2)
+    D = _mk_line("dd", 2)
+    S = _mk_line("ss", 0)
+    K, L, M = (_mk_line(t, 3) for t in ("kk", "ll", "mm"))
+    assert "\n".join([A, _mk_line("bb", 8), C, D]) in contents  # alpha
+    assert "\n".join([K, L, M]) in contents                     # gamma
+    # delta ("C D S") must be SUPPRESSED: beta's rejected claim on
+    # d3:1-3 was armed by gamma's acceptance, voiding delta's d3
+    # location (reference semantics); the old set-based resolution
+    # would have emitted it
+    assert "\n".join([C, D, S]) not in contents
+    # beta itself was rejected (one free location)
+    assert "\n".join([_mk_line("bb", 8), C, D]) not in contents
+
+
+def test_unknown_resolution_raises(spark):
+    from textalyzer_spark.operators.duplication import duplicate_blocks
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="unknown resolution"):
+        duplicate_blocks(df, min_lines=3, resolution="bogus")
+
+
 def test_driver_contract_consistency():
     """Every oracle key has a query; every query is callable; the
     generated SQL strings are non-trivial."""

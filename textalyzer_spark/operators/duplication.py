@@ -311,30 +311,37 @@ def _doc_components(
 
 
 def _resolve_overlaps(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Greedy overlap resolution (reference duplication.rs:298-336).
+    """Greedy overlap resolution (reference duplication.rs:298-336),
+    insert-then-gate semantics replicated exactly: every position-free
+    location CLAIMS its line-cells immediately (used[cell] = number of
+    blocks accepted so far), even if its block is then rejected for
+    having < 2 valid locations. A claimed cell blocks a later check
+    iff its stored index < the current accepted count — i.e. once ANY
+    block has been accepted after the claim (duplication.rs:315-317's
+    ``idx < result.len()``). Consequences the old accepted-only set
+    missed: a rejected block's lone claim suppresses later overlapping
+    blocks once anything else lands (ADVICE round-2).
 
     Sequential by definition; runs on the (small) candidate set inside
-    one task. Locations survive iff none of their lines was claimed by
-    an earlier block in the pinned total order.
+    one task.
     """
     pdf = pdf.sort_values(
         ["n_nonempty", "n_bytes", "content"], ascending=[False, False, True]
     )
-    used: set[tuple[str, int]] = set()
+    used: dict[tuple[str, int], int] = {}
     out = []
     for row in pdf.itertuples(index=False):
         span = row.n_lines
         valid = []
-        claims = []
         for loc in sorted((l["doc_id"], l["line"]) for l in row.locations):
             doc, start = loc
             cells = [(doc, ln) for ln in range(start, start + span)]
-            if any(c in used for c in cells):
+            if any(used.get(c, len(out)) < len(out) for c in cells):
                 continue
             valid.append({"doc_id": doc, "line": start})
-            claims.extend(cells)
+            for c in cells:
+                used[c] = len(out)
         if len(valid) >= 2:
-            used.update(claims)
             out.append(
                 {
                     "content": row.content,
@@ -390,6 +397,8 @@ def duplicate_blocks(
     contend for line positions, and each component runs as its own
     task.
     """
+    if resolution not in ("auto", "components", "global"):
+        raise ValueError(f"unknown resolution {resolution!r}")
     if min_lines <= 1:
         return duplicate_lines(df, id_col, text_col)
 

@@ -512,10 +512,19 @@ def duplicate_blocks_resolved_sql(
     greedy overlap resolution (duplication.rs:298-336) as a RECURSIVE
     CTE: blocks are visited in the engine's pinned total order
     (n_nonempty desc, bytes desc, content asc); each step keeps the
-    locations whose line-cells are unclaimed, claims them iff >= 2
-    survive, and threads the claimed-cell list through the recursion.
-    Cells are encoded doc_id * 2^20 + line (line numbers < 2^20 at any
-    tested sf). Inherently sequential — which is exactly why the
+    locations whose line-cells are not yet BLOCKING, claims the
+    survivors' cells, and accepts the block iff >= 2 survive.
+
+    Insert-then-gate state (mirrors _resolve_overlaps /
+    duplication.rs:315-317's ``idx < result.len()``): claimed cells
+    split into ``blocked`` (claims with >= 1 block ACCEPTED since —
+    these veto locations) and ``fresh`` (claims since the last
+    acceptance, including rejected blocks' lone claims — inert until
+    the next acceptance promotes them to blocked). Within one block,
+    locations never block each other (their claims are all fresh).
+
+    Cells are encoded doc_id * 2^20 + line (line numbers < 2^20 at
+    any tested sf). Inherently sequential — which is exactly why the
     recursion is the right SQL twin; the candidate set it walks is
     orders of magnitude smaller than the corpus."""
     return f"""
@@ -538,16 +547,18 @@ def duplicate_blocks_resolved_sql(
             FROM (SELECT DISTINCT content, doc_id, line FROM locs)
             GROUP BY content
           )
-        ), step(idx, used, content, valid, n_nonempty) AS (
-          SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS VARCHAR),
+        ), step(idx, blocked, fresh, content, valid, n_nonempty) AS (
+          SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+                 CAST(NULL AS VARCHAR),
                  CAST(NULL AS STRUCT(doc_id BIGINT, line INTEGER)[]), 0
           UNION ALL
           SELECT b.idx,
                  CASE WHEN len(v.valid) >= 2
-                      THEN s.used || flatten(list_transform(v.valid,
-                        loc -> list_transform(range(0, b.n_lines),
-                          i -> loc.doc_id * 1048576 + loc.line + i)))
-                      ELSE s.used END,
+                      THEN s.blocked || s.fresh || c.claims
+                      ELSE s.blocked END,
+                 CASE WHEN len(v.valid) >= 2
+                      THEN CAST([] AS BIGINT[])
+                      ELSE s.fresh || c.claims END,
                  b.content,
                  CASE WHEN len(v.valid) >= 2 THEN v.valid END,
                  b.n_nonempty
@@ -558,8 +569,13 @@ def duplicate_blocks_resolved_sql(
               loc -> NOT list_has_any(
                 list_transform(range(0, b.n_lines),
                   i -> loc.doc_id * 1048576 + loc.line + i),
-                s.used)) AS valid
-          ) v
+                s.blocked)) AS valid
+          ) v,
+          LATERAL (
+            SELECT flatten(list_transform(v.valid,
+              loc -> list_transform(range(0, b.n_lines),
+                i -> loc.doc_id * 1048576 + loc.line + i))) AS claims
+          ) c
         ), survivors AS (
           SELECT content, unnest(valid) AS loc
           FROM step
