@@ -330,6 +330,25 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages)
 
 
+def q_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction roundtrip (north_rule: PDF/layout parse):
+    each document is rendered into a deterministic minimal Flate PDF
+    (one escaped Tj literal per line, T* line moves —
+    operators/extraction.py:synthesize_pdfs) and the extractor must
+    recover exactly the original text modulo the documented block
+    normalization. The oracle reconstructs the expected text straight
+    from documents.text — a full roundtrip check of stream inflation,
+    the linear content tokenizer, literal unescaping, and text-op
+    state handling."""
+    from textalyzer_spark.operators.extraction import (
+        pdf_extract_text,
+        synthesize_pdfs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return pdf_extract_text(synthesize_pdfs(docs)).select("doc_id", "text")
+
+
 def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative character frequency (the reference's dormant
     relative-character-frequency.tsv asset, realized)."""
@@ -379,6 +398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_blocks_resolved": q_duplicate_blocks_resolved,
     "duplicate_lines": q_duplicate_lines,
     "html_main_content": q_html_main_content,
+    "pdf_extract_text": q_pdf_extract_text,
     "word_frequency": q_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
@@ -483,6 +503,19 @@ def oracle_sql() -> dict[str, str]:
                         ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE), 4)
               END AS chars_per_bpe_token
             FROM documents
+        """,
+        "pdf_extract_text": """
+            -- roundtrip expectation for synthesize_pdfs -> extract:
+            -- the Tj/T* stream reassembles to the original text; the
+            -- extractor then python-strips leading/trailing newlines
+            -- from the BT..ET block and drops all-whitespace blocks
+            SELECT doc_id,
+                   CASE WHEN trim(nl, ' ' || chr(9) || chr(10) || chr(11)
+                                       || chr(12) || chr(13)) = ''
+                        THEN '' ELSE nl END AS text
+            FROM (
+              SELECT doc_id, trim(text, chr(10)) AS nl FROM documents
+            )
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start,

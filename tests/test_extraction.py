@@ -143,3 +143,46 @@ def test_pdf_extract_text_dataframe(spark):
     assert "second line" in out[1]["text"]
     assert out[2]["text"] == ""
     assert out[1]["n_bytes"] > 100
+
+
+def test_pdf_operator_names_inside_strings():
+    """Regression (ADVICE round-2): operator names / brackets INSIDE
+    string literals must never be tokenized as operators, nested
+    balanced parens are one literal, and TJ consumes exactly its own
+    array (no rfind into earlier arrays)."""
+    from textalyzer_spark.operators.extraction import pdf_extract_text_bytes
+
+    ops = (
+        b"BT (A TJ B) Tj ( [(x)] ) Tj "
+        b"[(ker) -20 (n \\] ed)] TJ 0 -14 Td (next) Tj ET"
+    )
+    text = pdf_extract_text_bytes(_minimal_pdf(ops))
+    assert text == "A TJ B [(x)] kern ] ed\nnext"
+    # an ET inside a literal does not truncate the text block
+    ops2 = b"BT (keep ET going) Tj (tail) Tj ET"
+    assert pdf_extract_text_bytes(_minimal_pdf(ops2)) == "keep ET goingtail"
+
+
+def test_synthesize_pdfs_roundtrip(spark):
+    from textalyzer_spark.operators.extraction import (
+        pdf_extract_text,
+        synthesize_pdfs,
+    )
+
+    texts = [
+        "with (parens) and \\ backslash\nsecond",
+        "",
+        "  \n\t",
+        "tab\there",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in pdf_extract_text(synthesize_pdfs(docs)).collect()
+    }
+    assert out[0] == texts[0]
+    assert out[1] == ""          # empty doc -> empty block dropped
+    assert out[2] == ""          # all-whitespace block dropped
+    assert out[3] == "tab\there"

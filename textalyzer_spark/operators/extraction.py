@@ -295,41 +295,126 @@ def _pdf_literal(s: bytes) -> str:
     return "".join(out)
 
 
+def _pdf_content_tokens(stream: bytes):
+    """ONE linear pass over a content stream, yielding ``('str',
+    body)``, ``('[', b'')``, ``(']', b'')``, and ``('op', name)``
+    tokens in document order. String literals are consumed FIRST
+    (with escape handling and PDF's balanced-paren nesting), so an
+    operator name appearing INSIDE a literal — a TJ-array element
+    containing ``TJ`` or ``Td`` — can never be tokenized as an
+    operator (the round-2 ADVICE scan bug). Hex strings, dicts, and
+    comments are skipped (same capability tier as before)."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c == 0x28:  # ( literal string, nesting + escapes
+            depth, j = 1, i + 1
+            start = j
+            while j < n and depth:
+                cc = stream[j]
+                if cc == 0x5C:
+                    j += 2
+                    continue
+                if cc == 0x28:
+                    depth += 1
+                elif cc == 0x29:
+                    depth -= 1
+                j += 1
+            yield ("str", stream[start : j - 1])
+            i = j
+        elif c == 0x3C:  # << dict or <...> hex string: skipped tier
+            if i + 1 < n and stream[i + 1] == 0x3C:
+                i += 2
+            else:
+                e = stream.find(b">", i + 1)
+                i = n if e == -1 else e + 1
+        elif c == 0x5B:
+            yield ("[", b"")
+            i += 1
+        elif c == 0x5D:
+            yield ("]", b"")
+            i += 1
+        elif c == 0x25:  # % comment to end of line
+            e = stream.find(b"\n", i)
+            i = n if e == -1 else e + 1
+        elif c in (0x27, 0x22):  # ' and " text-show operators
+            yield ("op", stream[i : i + 1])
+            i += 1
+        elif 0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A:
+            j = i
+            while j < n and (
+                0x41 <= stream[j] <= 0x5A or 0x61 <= stream[j] <= 0x7A
+            ):
+                j += 1
+            if j < n and stream[j] == 0x2A:  # T* (and f*/B* harmlessly)
+                j += 1
+            yield ("op", stream[i:j])
+            i = j
+        else:
+            i += 1
+
+
 def pdf_extract_text_bytes(data: bytes) -> str:
     """Text of one PDF (plain Python; used inside Arrow batches and
-    by tests): text-showing operators Tj / ' / TJ inside BT..ET
-    blocks; Td/TD/T*/' vertical moves become newlines, TJ kerning
-    numbers are ignored. Scope: unencrypted PDFs with plain or
+    by tests): text-showing operators Tj / ' / " / TJ inside BT..ET
+    blocks; Td/TD/T*/'/" vertical moves become newlines, TJ kerning
+    numbers are ignored. BT/ET themselves are recognized as TOKENS
+    (not regex matches), so an ET inside a string literal cannot
+    truncate a text block. Scope: unencrypted PDFs with plain or
     Flate-compressed content streams and byte-string (ASCII/WinAnsi)
     text — no CID/UTF-16 fonts (the tier note in the module
     docstring applies)."""
-    import re
-
     chunks: list[str] = []
-    string_re = re.compile(rb"\((?:\\.|[^\\()])*\)", re.S)
     for stream in _pdf_streams(data):
-        for bt in re.findall(rb"BT(.*?)ET", stream, re.S):
-            parts: list[str] = []
-            # walk operators in order: strings (kept with their op)
-            # and line-move ops (newline markers)
-            for m in re.finditer(
-                rb"(\((?:\\.|[^\\()])*\))\s*(Tj|')|(TJ)|(T\*|Td|TD)", bt
-            ):
-                if m.group(1) is not None:
-                    if m.group(2) == b"'":
-                        parts.append("\n")
-                    parts.append(_pdf_literal(m.group(1)[1:-1]))
-                elif m.group(3):
-                    # TJ: the array of strings just before the operator
-                    start = bt.rfind(b"[", 0, m.start(3))
-                    if start != -1:
-                        for sm in string_re.finditer(bt, start, m.start(3)):
-                            parts.append(_pdf_literal(sm.group(0)[1:-1]))
-                elif m.group(4):
-                    parts.append("\n")
+        parts: list[str] = []
+        in_text = False
+        in_array = False
+        last_str: bytes | None = None
+        array_buf: list[bytes] = []
+
+        def flush() -> None:
             text = "".join(parts).strip("\n")
             if text.strip():
                 chunks.append(text)
+            parts.clear()
+
+        for kind, val in _pdf_content_tokens(stream):
+            if kind == "op" and val == b"BT":
+                in_text, in_array, last_str, array_buf = True, False, None, []
+                continue
+            if kind == "op" and val == b"ET":
+                if in_text:
+                    flush()
+                in_text = False
+                continue
+            if not in_text:
+                continue
+            if kind == "str":
+                if in_array:
+                    array_buf.append(val)
+                else:
+                    last_str = val
+            elif kind == "[":
+                in_array, array_buf = True, []
+            elif kind == "]":
+                in_array = False
+            elif kind == "op":
+                if val == b"Tj":
+                    if last_str is not None:
+                        parts.append(_pdf_literal(last_str))
+                        last_str = None
+                elif val in (b"'", b'"'):
+                    parts.append("\n")
+                    if last_str is not None:
+                        parts.append(_pdf_literal(last_str))
+                        last_str = None
+                elif val == b"TJ":
+                    parts.extend(_pdf_literal(s) for s in array_buf)
+                    array_buf = []
+                elif val in (b"Td", b"TD", b"T*"):
+                    parts.append("\n")
+        if in_text:  # unterminated BT: keep what was shown
+            flush()
     return "\n".join(chunks)
 
 
@@ -358,6 +443,59 @@ def pdf_extract_text(
     id_type = dict(df.dtypes).get(id_col, "string")
     return df.mapInPandas(
         run, f"doc_id {id_type}, text string, n_bytes bigint"
+    )
+
+
+def synthesize_pdfs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, payload binary)`` — a deterministic minimal
+    Flate-compressed PDF per document: each \\n-separated line of the
+    source text becomes an escaped literal string + ``Tj``, lines
+    separated by ``T*``. The template is INVERTIBLE — extraction must
+    return exactly the original text modulo the documented edge
+    normalization (python ``.strip("\\n")`` of the block + the
+    all-whitespace-block drop), which is what the driver-gate oracle
+    reconstructs in SQL. Escaping here (\\\\, \\(, \\)) and
+    _pdf_literal's unescaping cancel."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def one(text: str) -> bytes:
+        import zlib
+
+        lines = (text or "").split("\n")
+        esc = [
+            l.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+            for l in lines
+        ]
+        ops = "BT " + " T* ".join(f"({e}) Tj" for e in esc) + " ET"
+        body = zlib.compress(ops.encode("latin-1", "replace"))
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << /Filter /FlateDecode /Length "
+            + str(len(body)).encode()
+            + b" >>\nstream\n"
+            + body
+            + b"endstream endobj\n%%EOF\n"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [one(t) for t in pdf[text_col]],
+                }
+            )
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"doc_id {id_type}, payload binary"
     )
 
 
