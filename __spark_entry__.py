@@ -349,6 +349,20 @@ def q_pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_extract_text(synthesize_pdfs(docs)).select("doc_id", "text")
 
 
+def q_span_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved-span pipeline under the driver gate: the word
+    histogram computed over TEXT SPANS of the nested corpus
+    (synthesized from the flat table, corpus.nested_from_flat) must
+    equal the flat word_frequency oracle row-for-row — the media-
+    passthrough / lossless-span invariant the engine asserts in
+    pytest (tests/test_spans.py), now driver-visible. Shares
+    word_frequency's oracle SQL by construction."""
+    from textalyzer_spark.corpus import nested_from_flat
+    from textalyzer_spark.operators.spans import span_word_frequency
+
+    return span_word_frequency(nested_from_flat(_docs(spark, sf_dir)))
+
+
 def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative character frequency (the reference's dormant
     relative-character-frequency.tsv asset, realized)."""
@@ -400,6 +414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_main_content": q_html_main_content,
     "pdf_extract_text": q_pdf_extract_text,
     "word_frequency": q_word_frequency,
+    "span_word_frequency": q_span_word_frequency,
     "line_length": q_line_length,
     "line_display_width": q_line_display_width,
     "shingle_dup": q_shingle_dup,
@@ -463,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_lines": _o.duplicate_lines_sql(min_bytes=6),
         "html_main_content": _o.html_main_content_sql(),
         "word_frequency": _o.word_frequency_sql(),
+        "span_word_frequency": _o.word_frequency_sql(),
     }
     return generated | {
         "char_frequency": """

@@ -208,3 +208,43 @@ def test_embedding_near_dup_lsh_precision_and_recall(spark):
         df, threshold=0.95, dim=dim, n_bits=8, n_tables=4
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_mega_bucket_guard(spark):
+    """Planted boilerplate family (50 near-identical embeddings — all
+    land whole in one bucket of every table): without the guard the
+    verified output carries all f^2/2 family pairs (the blowup the
+    guard exists for); with max_bucket_docs set, the mega-bucket is
+    dropped while an ordinary small-bucket near-dup pair survives —
+    demonstrating both the guard's necessity on duplicate-heavy
+    corpora and the registered default's safety (None is only safe
+    because the driver corpus has no such family)."""
+    import random
+
+    from textalyzer_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = random.Random(7)
+
+    def vec(base=None, eps=0.0):
+        if base is None:
+            return [rng.uniform(-1.0, 1.0) for _ in range(16)]
+        return [x + rng.uniform(-eps, eps) for x in base]
+
+    fam_base = vec()
+    rows = [(i, vec(fam_base, 1e-6)) for i in range(50)]
+    pair_base = vec()
+    rows += [(100, vec(pair_base, 1e-6)), (101, vec(pair_base, 1e-6))]
+    rows += [(200 + i, vec()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    kw = dict(threshold=0.95, dim=16, n_bits=4, n_tables=16)
+    un = embedding_near_dup_pairs_lsh(df, **kw).collect()
+    fam_pairs = [r for r in un if r.vec_a < 50 and r.vec_b < 50]
+    assert len(fam_pairs) == 50 * 49 // 2  # f^2/2 blowup, all verified
+
+    gd = embedding_near_dup_pairs_lsh(df, max_bucket_docs=20, **kw).collect()
+    gset = {(r.vec_a, r.vec_b) for r in gd}
+    assert (100, 101) in gset              # small buckets untouched
+    assert not any(a < 50 and b < 50 for a, b in gset)  # family dropped

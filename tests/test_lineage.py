@@ -35,6 +35,12 @@ def test_full_run_and_lineage(spark, tmp_path):
     lin = read_lineage(spark, out_dir)
     assert lin.count() == 8  # every bucket checkpointed
     assert lin.agg(F.sum("n_rows")).collect()[0][0] == 200
+    # per-bucket timings are MEASURED (distinct per bucket), not the
+    # batch elapsed copied onto every row; batch compute is shared
+    rows = lin.collect()
+    assert all(r["bucket_seconds"] > 0 for r in rows)
+    assert len({r["bucket_seconds"] for r in rows}) == 8
+    assert len({r["batch_seconds"] for r in rows}) == 2  # one per batch
 
 
 def test_kill_and_resume_skips_completed(spark, tmp_path):

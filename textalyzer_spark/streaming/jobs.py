@@ -142,6 +142,12 @@ def streaming_near_dup(
     )
 
     def proc(key, pdfs, state):
+        # Vectorized per microbatch (round-2 nit: the old loop did a
+        # per-ROW np.vstack + iterrows — O(n^2) state copies). The
+        # sequential semantics are preserved exactly: docs are ordered
+        # by doc_id, each matches the prior state PLUS earlier
+        # in-batch docs that were ADMITTED (first cap-S of the batch),
+        # with argmax ties resolved in admission order (state first).
         if state.exists:
             ids, sigs_flat = state.get
             known_ids = list(ids)
@@ -154,20 +160,47 @@ def streaming_near_dup(
             )
         else:
             known_ids, known = [], np.empty((0, num_hashes), dtype=np.int64)
+        parts = [p for p in pdfs if len(p)]
         out_doc, out_dup, out_est = [], [], []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("doc_id").iterrows():
-                sig = np.asarray(row["signature"], dtype=np.int64)
-                if len(known_ids):
-                    est = (known == sig[None, :]).mean(axis=1)
-                    best = int(est.argmax())
-                    if est[best] >= min_est_jaccard:
-                        out_doc.append(row["doc_id"])
-                        out_dup.append(known_ids[best])
-                        out_est.append(round(float(est[best]), 4))
-                if len(known_ids) < max_bucket_state:
-                    known_ids.append(row["doc_id"])
-                    known = np.vstack([known, sig[None, :]])
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values(
+                "doc_id", kind="stable"
+            )
+            batch = np.stack(
+                [np.asarray(s, dtype=np.int64) for s in pdf["signature"]]
+            )
+            ids_b = pdf["doc_id"].tolist()
+            n_b, n_s = len(ids_b), len(known_ids)
+            n_admit = max(0, min(n_b, max_bucket_state - n_s))
+            chunk = 128  # bounds the (chunk x candidates x hashes) bools
+            j_idx = np.arange(n_b)
+            for c0 in range(0, n_b, chunk):
+                sl = batch[c0 : c0 + chunk]
+                i_idx = np.arange(c0, c0 + len(sl))
+                ests = []
+                if n_s:
+                    ests.append(
+                        (known[None, :, :] == sl[:, None, :]).mean(axis=2)
+                    )
+                # in-batch: j visible to i iff j < i AND j was admitted
+                eb = (batch[None, :, :] == sl[:, None, :]).mean(axis=2)
+                vis = (j_idx[None, :] < i_idx[:, None]) & (
+                    j_idx[None, :] < n_admit
+                )
+                ests.append(np.where(vis, eb, -1.0))
+                allest = np.concatenate(ests, axis=1)
+                best = allest.argmax(axis=1)
+                bestv = allest[np.arange(len(sl)), best]
+                for r in np.nonzero(bestv >= min_est_jaccard)[0]:
+                    b = int(best[r])
+                    out_doc.append(ids_b[c0 + r])
+                    out_dup.append(
+                        known_ids[b] if b < n_s else ids_b[b - n_s]
+                    )
+                    out_est.append(round(float(bestv[r]), 4))
+            if n_admit:
+                known_ids.extend(ids_b[:n_admit])
+                known = np.vstack([known, batch[:n_admit]])
         state.update((known_ids, [int(x) for x in known.ravel()]))
         if out_doc:
             yield pd.DataFrame(
