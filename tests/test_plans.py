@@ -11,7 +11,6 @@ from textalyzer_spark.operators.similarity import cosine_topk
 from textalyzer_spark.plans.inspect import (
     pushed_filters,
     read_schema_columns,
-    uses_broadcast_join,
     wholestage_codegen_ids,
 )
 
@@ -52,13 +51,22 @@ def test_frequency_is_wholestage_codegen(spark, docs):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def test_cosine_topk_broadcasts_queries(spark, docs):
+def test_cosine_topk_corpus_never_shuffles(spark, docs):
+    """The fused design: the query matrix ships in the task closure,
+    so there is NO join in the plan at all — the corpus scan feeds the
+    scoring MapInPandas directly and the only exchanges move the tiny
+    per-partition top-k candidate set (window hash + final sort)."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
         "vec_id", "query_id"
     )
     q = cosine_topk(emb, queries, k=3)
-    assert uses_broadcast_join(q)  # corpus side must NOT shuffle
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 2  # candidate window + final sort
+    # the scoring map sits BELOW both exchanges: corpus rows never move
+    assert plan.rindex("MapInPandas") > plan.rindex("Exchange")
 
 
 def _executed_plan(df) -> str:
