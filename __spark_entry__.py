@@ -480,7 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "word_frequency": _o.word_frequency_sql(),
         "span_word_frequency": _o.word_frequency_sql(),
     }
-    return generated | {
+    inline = {
         "char_frequency": """
             WITH chars AS (
               SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z]+', '', 'g'), '')) AS ch
@@ -792,3 +792,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
     }
+    # the ENGINE tokenizes with the full alphabetic class everywhere;
+    # swap the generated Latin-script class (ASCII-identical to the
+    # hand-written [a-z]+ on the driver tables — see alpha_token_regex)
+    # into every token-class position so an accented corpus cannot
+    # flip these rows either (same closure word_frequency already has)
+    rx, neg = _o.alpha_token_regex(), _o.alpha_strip_regex()
+    for name in (
+        "shingle_dup", "readability", "token_stats", "quality_score",
+        "lang_id", "ngram_jaccard",
+    ):
+        inline[name] = inline[name].replace("'[a-z]+'", f"'{rx}'")
+    for name in ("token_stats", "quality_score"):
+        inline[name] = inline[name].replace("'[^a-zA-Z]+'", f"'{neg}'")
+    return generated | inline

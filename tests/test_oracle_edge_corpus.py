@@ -47,14 +47,22 @@ def _compare(spark, edge_sf_dir, name):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{edge_sf_dir}/documents.parquet/*.parquet')"
     )
+    def _key(t):  # None-safe total order (NULL ratio columns)
+        return tuple((v is None, str(type(v)), v) for v in t)
+
     sdf = entrymod.queries()[name](spark, edge_sf_dir)
     scols = sorted(sdf.columns)
-    srows = sorted(tuple(r[c] for c in scols) for r in sdf.collect())
+    srows = sorted(
+        (tuple(r[c] for c in scols) for r in sdf.collect()), key=_key
+    )
     ddf = con.sql(entrymod.oracle_sql()[name])
     dcols_raw = ddf.columns
     drows = sorted(
-        tuple(r[dcols_raw.index(c)] for c in sorted(dcols_raw))
-        for r in ddf.fetchall()
+        (
+            tuple(r[dcols_raw.index(c)] for c in sorted(dcols_raw))
+            for r in ddf.fetchall()
+        ),
+        key=_key,
     )
     assert scols == sorted(dcols_raw)
     assert srows == drows, f"{name}: spark={srows[:5]} duck={drows[:5]}"
@@ -99,6 +107,18 @@ def test_display_width_edge(spark, edge_sf_dir):
     _compare(spark, edge_sf_dir, "line_display_width")
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["shingle_dup", "readability", "token_stats", "quality_score",
+     "lang_id", "ngram_jaccard"],
+)
+def test_tokenizing_oracles_on_accented_corpus(spark, edge_sf_dir, name):
+    """Every token-class oracle position now carries the GENERATED
+    Latin alphabet (oracle_sql swaps it in), so the accented doc 15
+    must agree engine-vs-oracle across the whole tokenizing family."""
+    _compare(spark, edge_sf_dir, name)
+
+
 def test_duplication_resolved_edge(spark, edge_sf_dir):
     # no >=3-line duplicate blocks exist in this corpus; both engines
     # must agree on emptiness (the synthesized-newline pipeline still
@@ -125,6 +145,15 @@ def neardup_sf_dir(spark, tmp_path_factory):
     rows.append((101, " ".join(reversed(base.split()))))
     for i in range(30):
         rows.append((200 + i, f"unrelated document number {i} " * 4))
+    # an accented near-dup pair: the generated token class + utf-8
+    # md5 hashing must agree cross-engine beyond ASCII
+    acc = (
+        "über die brücke läuft der kleine bär während die vögel "
+        "früh am morgen über den fluß nach süden ziehen und ähren "
+        "im wind schwanken"
+    )
+    rows.append((300, acc + " schlußwort eins"))
+    rows.append((301, acc + " schlußwort zwei"))
     d = tmp_path_factory.mktemp("neardup_sf")
     spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
         1

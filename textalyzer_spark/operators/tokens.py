@@ -41,9 +41,13 @@ _ROLL_M = (1 << 61) - 1    # Mersenne modulus
 
 
 def rolling_kgram_hashes(text: str, k: int) -> list[int]:
-    """O(n) polynomial rolling hash of every character k-gram
-    (plain Python; runs inside Arrow batches)."""
-    data = text.lower().encode("utf-8", "surrogatepass")
+    """O(n) polynomial rolling hash of every character k-gram (plain
+    Python; runs inside Arrow batches), over Unicode CODEPOINTS:
+    identical to the previous utf-8-byte form on ASCII, but a k-gram
+    is now k CHARACTERS on every script (a byte hash split multi-byte
+    chars mid-sequence) and the DuckDB twin's per-character ascii(c)
+    matches exactly beyond ASCII (pytest: accented near-dup corpus)."""
+    data = [ord(c) for c in text.lower()]
     n = len(data)
     if n < k:
         return []

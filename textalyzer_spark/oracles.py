@@ -70,6 +70,14 @@ def alpha_token_regex(max_cp: int = 0x024F) -> str:
     return f"[{body}]+"
 
 
+def alpha_strip_regex(max_cp: int = 0x024F) -> str:
+    """Negated form of :func:`alpha_token_regex` — strips every
+    non-letter from UNLOWERED text, mirroring the engine's
+    ``[^\\p{IsAlphabetic}]+`` (quality.token_stats n_alpha_chars)."""
+    rx = alpha_token_regex(max_cp)
+    return "[^" + rx[1:-2] + "]+"
+
+
 def word_frequency_sql() -> str:
     """Twin of ``word_frequency`` with the generated token alphabet —
     identical to the old hand-written ``[a-z]+`` oracle on ASCII,
@@ -110,11 +118,12 @@ def minhash_lsh_sql(
     lead_join = " || ' ' || ".join(
         ["w"] + [f"lead(w,{j}) OVER win" for j in range(1, k)]
     )
+    rx = alpha_token_regex()
     return f"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
-                 generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+                 unnest(regexp_extract_all(lower(text), '{rx}')) AS w,
+                 generate_subscripts(regexp_extract_all(lower(text), '{rx}'), 1) AS pos
           FROM documents
         ), sh AS (
           SELECT DISTINCT doc_id, {lead_join} AS shingle
@@ -179,7 +188,8 @@ def simhash_pairs_sql(max_hamming: int = 6) -> str:
     the same simhash values defines the identical output set."""
     return f"""
         WITH toks AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{alpha_token_regex()}')) AS w
           FROM documents
         ), bits AS (
           -- per (doc, bit j): sum over ALL tokens of +/-1 on bit j of
@@ -242,8 +252,8 @@ def winnow_pairs_sql(
                  generate_subscripts(string_split(lower(text), ''), 1) AS pos
           FROM documents
         ), bytes AS (
-          -- corpus is ASCII, so codepoint == utf-8 byte (the engine
-          -- hashes utf-8 bytes); ascii() gives the codepoint
+          -- both engines hash Unicode CODEPOINTS (ascii() yields the
+          -- codepoint for any char), so parity holds on every script
           SELECT doc_id, pos, ascii(c) AS b FROM chars
         ), kg AS (
           SELECT doc_id, pos,
