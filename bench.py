@@ -72,11 +72,13 @@ def main() -> None:
         "simhash_pairs",
         "cosine_topk",
         "lsh_cosine_topk",
+        "embedding_near_dup",
         "embedding_near_dup_lsh",
         "ivf_cosine_topk",
         "token_counts",
         "winnow_pairs",
         "html_main_content",
+        "pdf_extract_text",
         "events_windowed",
         "sessionize",
     ]
