@@ -140,6 +140,13 @@ def winnow_near_dup_pairs(
     minutes instead of seconds). Sizes are computed before the drop,
     so ``overlap`` stays a true fraction of each document."""
     fp = winnow_fingerprints(df, k, window, id_col, text_col).distinct()
+    # the fingerprint branch fans out to FIVE consumers (sizes, the
+    # doc-freq cap, both self-join sides); without materialization
+    # each consumer re-runs the O(n)-python rolling-hash stage —
+    # measured 2x the whole query's useful work at sf0.1. On a real
+    # cluster this is "write derived fingerprints once, join from
+    # storage" — the same pattern duplicate_blocks uses.
+    fp = fp.localCheckpoint()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     if max_doc_freq is not None:
         freq = (
