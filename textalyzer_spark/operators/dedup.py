@@ -70,6 +70,12 @@ def ngram_jaccard_pairs(
     banded buckets.
     """
     sh = _distinct_shingles(df, k, id_col, text_col)
+    # the shingle table fans out to sizes, the doc-freq cap, and both
+    # self-join sides — materialize once instead of re-tokenizing the
+    # corpus per consumer (same pattern as winnow_pairs /
+    # duplicate_blocks; on a cluster: write derived shingles once,
+    # join from storage)
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         keep = (
@@ -238,6 +244,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # the band-bucket table feeds the mega-bucket guard AND both join
+    # sides; without materialization each consumer re-runs the python
+    # minhash signature stage over the whole corpus
+    buckets = buckets.localCheckpoint()
     if max_bucket_docs is not None:
         ok = (
             buckets.groupBy("band", "bucket")
@@ -259,8 +269,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification of candidates only
-    sh = _distinct_shingles(df, k, id_col, text_col)
+    # exact verification of candidates only (shingles materialized:
+    # sizes + both verify-join sides would re-tokenize otherwise)
+    sh = _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
