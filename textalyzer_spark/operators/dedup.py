@@ -383,7 +383,9 @@ def simhash_near_pairs(
     width = 64 // chunks
     from itertools import combinations
 
-    sh = simhash(df, id_col, text_col)
+    # the keyed table feeds both self-join sides; materialize the tiny
+    # (doc_id, simhash) table so the python simhash stage runs once
+    sh = simhash(df, id_col, text_col).localCheckpoint()
     vals = [
         F.shiftrightunsigned(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))

@@ -323,6 +323,10 @@ def embedding_near_dup_pairs_lsh(
         vectors.withColumnRenamed(id_col, "vec_id"),
         "vec_id", dim, n_bits, n_tables, seed, vec_col,
     )
+    # the bucket table feeds the mega-bucket guard and both join
+    # sides — materialize once instead of re-running the python
+    # hyperplane-signature stage per consumer
+    vs = vs.localCheckpoint()
     # bucket-join IDs ONLY: a candidate row carrying both 64-dim
     # double arrays is ~1 KB, and a dense bucket can emit millions of
     # pairs — id-only join + dedup shuffles ~16 bytes/row instead,
