@@ -123,3 +123,20 @@ def test_embedding_queries_prune_to_needed_columns(spark):
 
     q = entrymod.queries()["cosine_topk"](spark, SF)
     assert "label" not in read_schema_columns(q)
+
+
+def test_embedding_near_dup_joins_block_table(spark):
+    """The exact all-pairs baseline must cross-join the AGGREGATED
+    block table (collect_list per hash block), never row-level vector
+    pairs — the BNLJ's operands are both block aggregates and the
+    numpy scorer sits above the join."""
+    from textalyzer_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = embedding_near_dup_pairs(emb, threshold=0.35)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert plan.count("collect_list") >= 2  # both operands aggregated
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") < plan.index("NestedLoopJoin") or \
+        "CartesianProduct" in plan  # scorer above the join
