@@ -207,3 +207,74 @@ def test_resolved_oracle_recursive_cte_under_contention(spark):
     cands = duplicate_blocks(synth, min_lines=2, resolve=False)
     n_cand_locs = cands.select(F.explode("locations")).distinct().count()
     assert len(spark_rows) < n_cand_locs
+
+
+def _reference_resolution_model(blocks):
+    """Straight-line transcription of duplication.rs:298-336 (the
+    insert-then-gate HashMap walk), independent of the engine's
+    pandas implementation — the hypothesis oracle."""
+    result = []
+    used = {}  # (doc, line) -> result-length at claim time
+    for content, n_lines, locations in blocks:
+        valid = []
+        for doc, start in locations:
+            cells = [(doc, ln) for ln in range(start, start + n_lines)]
+            if any(c in used and used[c] < len(result) for c in cells):
+                continue
+            valid.append((doc, start))
+            for c in cells:
+                used[c] = len(result)
+        if len(valid) >= 2:
+            result.append((content, valid))
+    return result
+
+
+def test_resolve_overlaps_matches_reference_model_randomized():
+    """_resolve_overlaps vs the reference transcription on randomized
+    candidate sets (block spans/locations drawn to collide heavily —
+    the armed-claim and same-block-overlap corners appear often)."""
+    import random
+
+    import pandas as pd
+
+    from textalyzer_spark.operators.duplication import _resolve_overlaps
+
+    rng = random.Random(1234)
+    for trial in range(200):
+        n_blocks = rng.randint(1, 12)
+        blocks = []
+        for i in range(n_blocks):
+            span = rng.randint(1, 4)
+            n_locs = rng.randint(1, 4)
+            locs = {
+                (f"d{rng.randint(0, 3)}", rng.randint(1, 8))
+                for _ in range(n_locs)
+            }
+            # distinct content per block; n_nonempty == span here
+            content = "\n".join(f"blk{i}line{j}" for j in range(span))
+            blocks.append((content, span, sorted(locs)))
+        # the engine sorts by (n_nonempty desc, n_bytes desc, content
+        # asc); feed the model the SAME order the engine will use
+        ordered = sorted(
+            blocks, key=lambda b: (-b[1], -len(b[0].encode()), b[0])
+        )
+        expected = _reference_resolution_model(ordered)
+
+        pdf = pd.DataFrame(
+            {
+                "content": [b[0] for b in blocks],
+                "locations": [
+                    [{"doc_id": d, "line": ln} for d, ln in b[2]]
+                    for b in blocks
+                ],
+                "n_lines": [b[1] for b in blocks],
+                "n_nonempty": [b[1] for b in blocks],
+                "n_bytes": [len(b[0].encode()) for b in blocks],
+            }
+        )
+        got = _resolve_overlaps(pdf)
+        got_set = [
+            (r["content"], [(l["doc_id"], l["line"]) for l in r["locations"]])
+            for _, r in got.iterrows()
+        ]
+        assert got_set == expected, f"trial {trial}: {got_set} != {expected}"
