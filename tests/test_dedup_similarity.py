@@ -248,3 +248,28 @@ def test_embedding_lsh_mega_bucket_guard(spark):
     gset = {(r.vec_a, r.vec_b) for r in gd}
     assert (100, 101) in gset              # small buckets untouched
     assert not any(a < 50 and b < 50 for a, b in gset)  # family dropped
+
+
+def test_operators_tolerate_empty_and_tiny_corpora(spark):
+    """Every family returns an empty/valid result on a 0-row input,
+    and IVF trains fewer cells than n_clusters on a tiny corpus
+    instead of crashing — edge a real pipeline hits on an empty
+    partition or a heavily filtered day."""
+    import textalyzer_spark.operators.dedup as dd
+    import textalyzer_spark.operators.similarity as sim
+    import textalyzer_spark.operators.tokens as tk
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    q = emb.withColumnRenamed("vec_id", "query_id")
+    assert dd.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4).count() == 0
+    assert tk.winnow_near_dup_pairs(docs).count() == 0
+    assert sim.ivf_cosine_topk(emb, q).count() == 0
+    assert sim.cosine_topk(emb, q).count() == 0
+
+    # tiny corpus: 5 vectors < n_clusters=16
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(5)]
+    tiny = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    tq = tiny.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    out = sim.ivf_cosine_topk(tiny, tq, k=3, n_clusters=16, n_probe=4)
+    assert 0 < out.count() <= 3

@@ -532,10 +532,18 @@ def ivf_cosine_topk(
     # deterministic bounded sample: smallest sample_size ids (top-N,
     # not a full sort); driver holds sample_size x dim doubles
     srows = v.orderBy("vec_id").limit(sample_size).collect()
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(vectors.dtypes)[id_col]
+    if not srows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"query_id {q_type}, vec_id {id_type}, cosine double, rank int"
+        )
     sample = np.stack(
         [np.asarray(r["vec"], dtype=np.float64) for r in srows]
     )
-    centroids = _kmeans_fit_sample(sample, n_clusters, iters)
+    # a corpus smaller than n_clusters trains that many cells (the
+    # oracle's LIMIT n_clusters init CTE shrinks identically)
+    centroids = _kmeans_fit_sample(sample, min(n_clusters, len(srows)), iters)
 
     assigned = _assign_nearest(v, centroids)
 
