@@ -299,3 +299,48 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
     matches = {(r["doc_id"], r["dup_of"]) for r in rows2}
     assert matches == {("b", "a")}
     assert all(r["est_jaccard"] >= 0.5 for r in rows2)
+
+
+def test_resize_ppm_real_and_stub(spark):
+    """image/ppm resizes for REAL (nearest-neighbor numpy, valid P6
+    out); codec formats stub honestly (raise) or pass through under
+    fake=True — completing the decode/feature/resize/frame-sample
+    multimodal verb set."""
+    import pytest as _pytest
+
+    from textalyzer_spark.operators.multimodal import (
+        _ppm_header,
+        decode_ppm,
+        resize_images,
+        resize_ppm,
+    )
+
+    # 4x2 image, left half red, right half blue
+    header = b"P6\n4 2\n255\n"
+    row = bytes([255, 0, 0] * 2 + [0, 0, 255] * 2)
+    src = header + row * 2
+    out = resize_ppm(src, 2, 1)
+    w, h, maxval, pos = _ppm_header(out)
+    assert (w, h, maxval) == (2, 1, 255)
+    assert out[pos:] == bytes([255, 0, 0, 0, 0, 255])  # one red, one blue
+    assert decode_ppm(out)[2] > 0.4  # mean_r sane on the resized image
+
+    media = spark.createDataFrame(
+        [("p1", "image/ppm", src), ("j1", "image/jpeg", b"\xff\xd8junk")],
+        "media_ref string, kind string, payload binary",
+    )
+    real = {
+        r["media_ref"]: r
+        for r in resize_images(
+            media.filter("kind = 'image/ppm'"), 2, 1
+        ).collect()
+    }
+    assert _ppm_header(bytes(real["p1"]["payload"]))[:2] == (2, 1)
+    # honest stub: codec formats raise without fake=True
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_images(media, 2, 1).collect()
+    passthru = {
+        r["media_ref"]: bytes(r["payload"])
+        for r in resize_images(media, 2, 1, fake=True).collect()
+    }
+    assert passthru["j1"] == b"\xff\xd8junk"

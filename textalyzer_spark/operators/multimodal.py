@@ -86,11 +86,9 @@ def decode_wav(payload: bytes) -> list[float]:
     return [duration, sr / 48000.0, float(n_ch), rms, peak, 0.0, 0.0, 1.0]
 
 
-def decode_ppm(payload: bytes) -> list[float]:
-    """REAL binary-PPM (P6) decode (header parse + numpy):
-    ``[w/4096, h/4096, mean_r, mean_g, mean_b, maxval/255, 0, 1]``."""
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header -> (width, height, maxval,
+    pixel_offset); comments stripped per the netpbm spec."""
     if not payload.startswith(b"P6"):
         raise NotImplementedError("only binary PPM (P6) supported")
     # header: magic, width, height, maxval as whitespace-separated
@@ -108,7 +106,15 @@ def decode_ppm(payload: bytes) -> list[float]:
             pos += 1
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
-    w, h, maxval = fields
+    return fields[0], fields[1], fields[2], pos
+
+
+def decode_ppm(payload: bytes) -> list[float]:
+    """REAL binary-PPM (P6) decode (header parse + numpy):
+    ``[w/4096, h/4096, mean_r, mean_g, mean_b, maxval/255, 0, 1]``."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(payload)
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     means = px.reshape(-1, 3).mean(axis=0) / float(maxval)
     return [
@@ -174,6 +180,64 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a binary PPM (P6) — pure numpy
+    index selection, emits a valid P6 payload."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(payload)
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * 3, offset=pos
+    ).reshape(h, w, 3)
+    iy = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ix = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    out = px[iy][:, ix]
+    header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched image resize over the media table:
+    ``(media_ref, kind, width, height, payload)`` — the training-
+    pipeline normalize-resolution stage. ``image/ppm`` resizes for
+    REAL (:func:`resize_ppm`); codec formats (jpeg/png/...) need
+    libraries absent from this container — with ``fake=False`` they
+    raise NotImplementedError (honest stub), with ``fake=True`` the
+    payload passes through unchanged so the Spark-side plumbing
+    (schema, batching, partitioning) is exercised end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p: bytes, kind: str) -> bytes:
+            if kind == "image/ppm":
+                return resize_ppm(p or b"", width, height)
+            if fake:
+                return p
+            raise NotImplementedError(
+                f"resizing {kind!r} requires codec libraries not present "
+                "in this container (image/ppm resizes for real)"
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        one(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_ref string, kind string, width int, height int, payload binary",
+    )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
