@@ -278,3 +278,53 @@ def test_resolve_overlaps_matches_reference_model_randomized():
             for _, r in got.iterrows()
         ]
         assert got_set == expected, f"trial {trial}: {got_set} != {expected}"
+
+
+def test_empty_line_run_extension_cross_engine(spark):
+    """The reference extends runs through trimmed-equal EMPTY lines
+    (duplication.rs:174-185: ''=='' keeps matching) — a shared block
+    with an interior blank line is ONE candidate, and trailing
+    empty-empty lines extend the match. Engine vs the synthesize=False
+    DuckDB twin on a raw line-structured corpus (the registered
+    8-token transform collapses blank lines, so this needs the raw
+    path), plus direct shape asserts."""
+    import duckdb
+
+    from textalyzer_spark.oracles import duplicate_blocks_resolved_sql
+
+    docs = [
+        (1, "alpha beta one\n\ngamma delta two\nepsilon zeta three"),
+        (2, "alpha beta one\n\ngamma delta two\nepsilon zeta three"),
+        (3, "trail head aa\ntrail body bb\n\n\nafter three"),
+        (4, "trail head aa\ntrail body bb\n\n\nother four"),
+        (5, "noise line\nmore noise"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = duplicate_blocks(df, min_lines=2)
+    by_content = {r["content"]: r for r in out.collect()}
+    # interior blank bridged: one 4-line block (3 non-empty)
+    bridged = "alpha beta one\n\ngamma delta two\nepsilon zeta three"
+    assert bridged in by_content
+    assert by_content[bridged]["n_nonempty"] == 3
+    # trailing empties extend: block ends with two empty lines
+    trail = "trail head aa\ntrail body bb\n\n"
+    assert trail in by_content
+
+    # cross-engine: the resolved recursive-CTE twin agrees row-for-row
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    drows = sorted(
+        con.sql(
+            duplicate_blocks_resolved_sql(min_lines=2, synthesize=False)
+        ).fetchall()
+    )
+    srows = sorted(
+        (r["content"], l["doc_id"], l["line"])
+        for r in out.collect()
+        for l in r["locations"]
+    )
+    assert srows == [tuple(r) for r in drows]

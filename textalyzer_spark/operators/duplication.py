@@ -32,11 +32,14 @@ rolling-hash duplicate detection"):
 Pinned-order deviations from the reference (FIXTURES.md §3): ties in
 the block sort are resolved content-asc and locations are claimed in
 (doc_id, line) order — the reference is HashMap-nondeterministic on
-both. Two further documented deviations: (a) only MAXIMAL runs become
+both. One further documented deviation: only MAXIMAL runs become
 candidates (the reference also emits every unindented suffix of a run;
 those are suppressed by overlap resolution in all but pathological
-claim orders); (b) runs do not extend through empty lines (the
-reference's extension matches empty-to-empty; its seeds never do).
+claim orders — emitting them would L-fold the candidate volume, the
+wrong trade at scale). Empty-line run extension (the reference's
+extension matches empty-to-empty) IS replicated since round 3:
+same-delta runs bridge across both-sides-empty gaps and extend over
+trailing empty-empty lines (:func:`_maximal_runs`).
 
 Scale notes: steps 1-4 are plain shuffles on content keys — AQE
 handles skew (a pathologically common line, e.g. "}", fans out into a
@@ -121,19 +124,104 @@ def _matching_line_pairs(lines: DataFrame, max_locations_per_line: int | None) -
     )
 
 
-def _maximal_runs(pairs: DataFrame) -> DataFrame:
-    """Gaps-and-islands: maximal consecutive matching runs per doc pair."""
+def _empty_ahead(lines: DataFrame) -> DataFrame:
+    """``(doc_id, line_number, empty_ahead)`` — the number of
+    consecutive trimmed-empty lines starting AT line_number (0 for a
+    non-empty line). Backs the empty-line run extension below."""
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_number")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_ne = F.min(
+        F.when(F.col("trimmed") != "", F.col("line_number"))
+    ).over(wdoc)
+    max_line = F.max("line_number").over(Window.partitionBy("doc_id"))
+    return lines.select(
+        "doc_id",
+        "line_number",
+        F.when(
+            F.col("trimmed") == "",
+            F.coalesce(
+                next_ne - F.col("line_number"),
+                max_line - F.col("line_number") + 1,
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("empty_ahead"),
+    )
+
+
+def _maximal_runs(pairs: DataFrame, lines: DataFrame) -> DataFrame:
+    """Gaps-and-islands maximal runs per doc pair, with the
+    reference's EMPTY-LINE extension (duplication.rs:174-185 matches
+    trimmed equality, so empty==empty keeps extending): two same-delta
+    runs separated only by lines empty in BOTH documents merge into
+    one, and a run extends over trailing empty-empty lines
+    (min of both sides' empty-run lengths). Relational form: a second
+    gaps-and-islands over the run table keyed by
+    "gap covered by both sides' empty_ahead" instead of a sequential
+    rescan — the merge table is runs, not lines, so this costs one
+    tiny extra window."""
     w = Window.partitionBy("da", "db", "delta").orderBy("la")
-    return (
+    base = (
         pairs.withColumn("delta", F.col("la") - F.col("lb"))
         .withColumn("island", F.col("la") - F.row_number().over(w))
         .groupBy("da", "db", "delta", "island")
         .agg(
             F.min("la").alias("start_a"),
             F.min("lb").alias("start_b"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.lit(1)).alias("n_seed"),
         )
-        .drop("delta", "island")
+        .withColumn("end_a", F.col("start_a") + F.col("n_seed") - 1)
+        .withColumn("end_b", F.col("start_b") + F.col("n_seed") - 1)
+    )
+    ea = _empty_ahead(lines)
+    a_side = ea.select(
+        F.col("doc_id").alias("da"),
+        F.col("line_number").alias("_a_next"),
+        F.col("empty_ahead").alias("ea_next"),
+    )
+    b_side = ea.select(
+        F.col("doc_id").alias("db"),
+        F.col("line_number").alias("_b_next"),
+        F.col("empty_ahead").alias("eb_next"),
+    )
+    base = (
+        base.withColumn("_a_next", F.col("end_a") + 1)
+        .withColumn("_b_next", F.col("end_b") + 1)
+        .join(a_side, ["da", "_a_next"], "left_outer")
+        .join(b_side, ["db", "_b_next"], "left_outer")
+        .drop("_a_next", "_b_next")
+        .withColumn("ea_next", F.coalesce("ea_next", F.lit(0)))
+        .withColumn("eb_next", F.coalesce("eb_next", F.lit(0)))
+    )
+    wm = Window.partitionBy("da", "db", "delta").orderBy("start_a")
+    wms = wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("start_a") - F.lag("end_a").over(wm) - 1
+    bridged = gap.isNotNull() & (
+        gap <= F.least(F.lag("ea_next").over(wm), F.lag("eb_next").over(wm))
+    )
+    return (
+        base.withColumn("brk", F.when(bridged, 0).otherwise(1))
+        .withColumn("mgrp", F.sum("brk").over(wms))
+        .groupBy("da", "db", "delta", "mgrp")
+        .agg(
+            F.min("start_a").alias("start_a"),
+            F.min("start_b").alias("start_b"),
+            (
+                F.max("end_a")
+                - F.min("start_a")
+                + 1
+                + F.least(
+                    F.max_by("ea_next", "end_a"), F.max_by("eb_next", "end_a")
+                )
+            )
+            .cast("int")
+            .alias("n_lines"),
+        )
+        .drop("delta", "mgrp")
     )
 
 
@@ -186,11 +274,22 @@ def _candidates(runs: DataFrame, lines: DataFrame) -> DataFrame:
         grouped.filter(F.col("gate"))
         .withColumn(
             "content",
+            # reference dedent (duplication.rs:207-215): a line SHORTER
+            # than min_indent (whitespace-only inside an indented
+            # block) is kept verbatim, not sliced to ""
             F.concat_ws(
                 "\n",
                 F.transform(
                     "ls",
-                    lambda x: F.substring(x["line"], F.coalesce(F.col("min_indent"), F.lit(0)) + 1, 1 << 30),
+                    lambda x: F.when(
+                        F.length(x["line"])
+                        >= F.coalesce(F.col("min_indent"), F.lit(0)),
+                        F.substring(
+                            x["line"],
+                            F.coalesce(F.col("min_indent"), F.lit(0)) + 1,
+                            1 << 30,
+                        ),
+                    ).otherwise(x["line"]),
                 ),
             ),
         )
@@ -404,7 +503,7 @@ def duplicate_blocks(
 
     lines = explode_lines(df, id_col, text_col)
     pairs = _matching_line_pairs(lines, max_locations_per_line)
-    runs = _maximal_runs(pairs)
+    runs = _maximal_runs(pairs, lines)
     cands = _candidates(runs, lines)
 
     if resolve:

@@ -406,17 +406,30 @@ def embedding_near_dup_lsh_sql(
 # --------------------------------------------------------------------------
 
 
-def _dup_candidates_ctes(max_locations_per_line: int = 1000) -> str:
+def _dup_candidates_ctes(
+    max_locations_per_line: int = 1000, synthesize: bool = True
+) -> str:
     """Shared CTE chain: synthesized line corpus (newline every 8
     tokens) -> duplicate-line seeds (with the skew cap) -> pairs ->
-    gaps-and-islands maximal runs -> gated dedented candidates.
-    Ends with ``locs(content, doc_id, line)``."""
-    return rf"""docs AS (
+    gaps-and-islands maximal runs (with the reference's empty-line
+    extension) -> gated dedented candidates. Ends with
+    ``locs(content, doc_id, line)``. ``synthesize=False`` takes
+    documents.text as ALREADY line-structured (the 8-token transform
+    collapses blank lines, so blank-line parity tests need the raw
+    corpus)."""
+    docs_cte = (
+        r"""docs AS (
           SELECT doc_id,
-                 regexp_replace(text, '((\S+\s+){{7}}\S+)\s+',
+                 regexp_replace(text, '((\S+\s+){7}\S+)\s+',
                                 '\1' || chr(10), 'g') AS text
           FROM documents
-        ), raw AS (
+        )"""
+        if synthesize
+        else """docs AS (
+          SELECT doc_id, text FROM documents
+        )"""
+    )
+    return rf"""{docs_cte}, raw AS (
           SELECT doc_id,
                  unnest(string_split(text, chr(10))) AS line,
                  generate_subscripts(string_split(text, chr(10)), 1) AS line_number
@@ -446,10 +459,56 @@ def _dup_candidates_ctes(max_locations_per_line: int = 1000) -> str:
                  la - row_number() OVER (PARTITION BY da, db, la - lb
                                          ORDER BY la) AS grp
           FROM pairs
-        ), runs AS (
-          SELECT da, db, min(la) AS start_a, min(lb) AS start_b,
-                 count(*) AS n_lines
+        ), ea AS (
+          -- consecutive trimmed-empty run length starting AT each line
+          -- (0 for non-empty): backs the reference's empty-line run
+          -- extension (duplication.rs:174-185 matches ''=='' too)
+          SELECT doc_id, line_number,
+                 CASE WHEN trimmed = '' THEN
+                   coalesce(min(CASE WHEN trimmed <> '' THEN line_number END)
+                              OVER (PARTITION BY doc_id ORDER BY line_number
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING)
+                            - line_number,
+                            max(line_number) OVER (PARTITION BY doc_id)
+                            - line_number + 1)
+                 ELSE 0 END AS empty_ahead
+          FROM lines
+        ), runs0 AS (
+          SELECT da, db, delta, min(la) AS start_a, min(lb) AS start_b,
+                 count(*) AS n_seed,
+                 min(la) + count(*) - 1 AS end_a,
+                 min(lb) + count(*) - 1 AS end_b
           FROM isl GROUP BY da, db, delta, grp
+        ), runs1 AS (
+          SELECT r.*, coalesce(eaa.empty_ahead, 0) AS ea_next,
+                 coalesce(eab.empty_ahead, 0) AS eb_next
+          FROM runs0 r
+          LEFT JOIN ea eaa ON eaa.doc_id = r.da
+                          AND eaa.line_number = r.end_a + 1
+          LEFT JOIN ea eab ON eab.doc_id = r.db
+                          AND eab.line_number = r.end_b + 1
+        ), runs2 AS (
+          -- merge same-delta runs whose gap is empty in BOTH docs,
+          -- then extend over trailing empty-empty lines
+          SELECT *, CASE WHEN lag(end_a) OVER w IS NOT NULL
+                          AND start_a - lag(end_a) OVER w - 1
+                              <= least(lag(ea_next) OVER w,
+                                       lag(eb_next) OVER w)
+                     THEN 0 ELSE 1 END AS brk
+          FROM runs1
+          WINDOW w AS (PARTITION BY da, db, delta ORDER BY start_a)
+        ), runs3 AS (
+          SELECT *, sum(brk) OVER (PARTITION BY da, db, delta
+                                   ORDER BY start_a
+                                   ROWS UNBOUNDED PRECEDING) AS mgrp
+          FROM runs2
+        ), runs AS (
+          SELECT da, db, min(start_a) AS start_a, min(start_b) AS start_b,
+                 max(end_a) - min(start_a) + 1
+                   + least(max_by(ea_next, end_a), max_by(eb_next, end_a))
+                   AS n_lines
+          FROM runs3 GROUP BY da, db, delta, mgrp
         ), occ AS (
           SELECT da AS doc_id, start_a AS start, n_lines,
                  db AS o_doc, start_b AS o_start FROM runs
@@ -468,8 +527,13 @@ def _dup_candidates_ctes(max_locations_per_line: int = 1000) -> str:
                      THEN length(line) - length(ltrim(line)) END) AS min_indent
           FROM occ_lines GROUP BY 1, 2, 3, 4, 5
         ), contents AS (
+          -- reference dedent (duplication.rs:207-215): a line SHORTER
+          -- than min_indent (whitespace-only inside an indented block)
+          -- is kept verbatim, not sliced empty
           SELECT m.doc_id, m.start, m.o_doc, m.o_start,
-                 string_agg(substr(l.line, m.min_indent + 1), chr(10)
+                 string_agg(CASE WHEN length(l.line) >= m.min_indent
+                                 THEN substr(l.line, m.min_indent + 1)
+                                 ELSE l.line END, chr(10)
                             ORDER BY l.line_number) AS content
           FROM occmeta m JOIN lines l ON l.doc_id = m.doc_id
            AND l.line_number BETWEEN m.start AND m.start + m.n_lines - 1
@@ -483,12 +547,14 @@ def _dup_candidates_ctes(max_locations_per_line: int = 1000) -> str:
 
 
 def duplicate_block_candidates_sql(
-    max_locations_per_line: int = 1000, min_lines: int = 3
+    max_locations_per_line: int = 1000,
+    min_lines: int = 3,
+    synthesize: bool = True,
 ) -> str:
     """Twin of ``duplicate_blocks(resolve=False)`` exploded to one row
     per (content, doc_id, line)."""
     return f"""
-        WITH {_dup_candidates_ctes(max_locations_per_line)}
+        WITH {_dup_candidates_ctes(max_locations_per_line, synthesize)}
         SELECT DISTINCT content, doc_id, line
         FROM locs
         WHERE len(list_filter(string_split(content, chr(10)),
@@ -516,7 +582,9 @@ def duplicate_lines_sql(min_bytes: int = 6) -> str:
 
 
 def duplicate_blocks_resolved_sql(
-    max_locations_per_line: int = 1000, min_lines: int = 3
+    max_locations_per_line: int = 1000,
+    min_lines: int = 3,
+    synthesize: bool = True,
 ) -> str:
     """Twin of ``duplicate_blocks(resolve=True)`` — the reference's
     greedy overlap resolution (duplication.rs:298-336) as a RECURSIVE
@@ -538,7 +606,7 @@ def duplicate_blocks_resolved_sql(
     recursion is the right SQL twin; the candidate set it walks is
     orders of magnitude smaller than the corpus."""
     return f"""
-        WITH RECURSIVE {_dup_candidates_ctes(max_locations_per_line)},
+        WITH RECURSIVE {_dup_candidates_ctes(max_locations_per_line, synthesize)},
         blocks AS (
           SELECT content, locs,
                  len(string_split(content, chr(10))) AS n_lines,
