@@ -124,32 +124,24 @@ def _matching_line_pairs(lines: DataFrame, max_locations_per_line: int | None) -
     )
 
 
-def _empty_ahead(lines: DataFrame) -> DataFrame:
-    """``(doc_id, line_number, empty_ahead)`` — the number of
-    consecutive trimmed-empty lines starting AT line_number (0 for a
-    non-empty line). Backs the empty-line run extension below."""
-    wdoc = (
-        Window.partitionBy("doc_id")
-        .orderBy("line_number")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    next_ne = F.min(
-        F.when(F.col("trimmed") != "", F.col("line_number"))
-    ).over(wdoc)
-    max_line = F.max("line_number").over(Window.partitionBy("doc_id"))
-    return lines.select(
-        "doc_id",
-        "line_number",
-        F.when(
-            F.col("trimmed") == "",
-            F.coalesce(
-                next_ne - F.col("line_number"),
-                max_line - F.col("line_number") + 1,
-            ),
+def _empty_runs(lines: DataFrame) -> DataFrame:
+    """``(doc_id, start_line, run_len)`` — maximal runs of
+    trimmed-empty lines per document. Backs the empty-line run
+    extension below. Only EMPTY lines enter the window shuffle (a
+    vanishing fraction of the corpus); and since a matching run ends
+    on a non-empty line, its end+1 can only ever be the START of an
+    empty run, so an equi-join on ``start_line`` recovers exactly the
+    "empties ahead" count the extension needs."""
+    we = Window.partitionBy("doc_id").orderBy("line_number")
+    return (
+        lines.filter(F.col("trimmed") == "")
+        .withColumn("isl", F.col("line_number") - F.row_number().over(we))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("line_number").alias("start_line"),
+            F.count(F.lit(1)).cast("int").alias("run_len"),
         )
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("empty_ahead"),
+        .drop("isl")
     )
 
 
@@ -177,16 +169,16 @@ def _maximal_runs(pairs: DataFrame, lines: DataFrame) -> DataFrame:
         .withColumn("end_a", F.col("start_a") + F.col("n_seed") - 1)
         .withColumn("end_b", F.col("start_b") + F.col("n_seed") - 1)
     )
-    ea = _empty_ahead(lines)
-    a_side = ea.select(
+    er = _empty_runs(lines)
+    a_side = er.select(
         F.col("doc_id").alias("da"),
-        F.col("line_number").alias("_a_next"),
-        F.col("empty_ahead").alias("ea_next"),
+        F.col("start_line").alias("_a_next"),
+        F.col("run_len").alias("ea_next"),
     )
-    b_side = ea.select(
+    b_side = er.select(
         F.col("doc_id").alias("db"),
-        F.col("line_number").alias("_b_next"),
-        F.col("empty_ahead").alias("eb_next"),
+        F.col("start_line").alias("_b_next"),
+        F.col("run_len").alias("eb_next"),
     )
     base = (
         base.withColumn("_a_next", F.col("end_a") + 1)

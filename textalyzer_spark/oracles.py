@@ -459,21 +459,20 @@ def _dup_candidates_ctes(
                  la - row_number() OVER (PARTITION BY da, db, la - lb
                                          ORDER BY la) AS grp
           FROM pairs
-        ), ea AS (
-          -- consecutive trimmed-empty run length starting AT each line
-          -- (0 for non-empty): backs the reference's empty-line run
-          -- extension (duplication.rs:174-185 matches ''=='' too)
-          SELECT doc_id, line_number,
-                 CASE WHEN trimmed = '' THEN
-                   coalesce(min(CASE WHEN trimmed <> '' THEN line_number END)
-                              OVER (PARTITION BY doc_id ORDER BY line_number
-                                    ROWS BETWEEN CURRENT ROW
-                                    AND UNBOUNDED FOLLOWING)
-                            - line_number,
-                            max(line_number) OVER (PARTITION BY doc_id)
-                            - line_number + 1)
-                 ELSE 0 END AS empty_ahead
-          FROM lines
+        ), er AS (
+          -- maximal trimmed-empty line runs (doc, start, len): backs
+          -- the reference's empty-line run extension (duplication.rs
+          -- :174-185 matches ''=='' too); a matching run's end+1 can
+          -- only be the START of such a run, so the equi-join below
+          -- recovers the "empties ahead" count exactly
+          SELECT doc_id, min(line_number) AS start_line,
+                 count(*) AS run_len
+          FROM (
+            SELECT doc_id, line_number,
+                   line_number - row_number() OVER (
+                     PARTITION BY doc_id ORDER BY line_number) AS isl
+            FROM lines WHERE trimmed = ''
+          ) GROUP BY doc_id, isl
         ), runs0 AS (
           SELECT da, db, delta, min(la) AS start_a, min(lb) AS start_b,
                  count(*) AS n_seed,
@@ -481,13 +480,13 @@ def _dup_candidates_ctes(
                  min(lb) + count(*) - 1 AS end_b
           FROM isl GROUP BY da, db, delta, grp
         ), runs1 AS (
-          SELECT r.*, coalesce(eaa.empty_ahead, 0) AS ea_next,
-                 coalesce(eab.empty_ahead, 0) AS eb_next
+          SELECT r.*, coalesce(eaa.run_len, 0) AS ea_next,
+                 coalesce(eab.run_len, 0) AS eb_next
           FROM runs0 r
-          LEFT JOIN ea eaa ON eaa.doc_id = r.da
-                          AND eaa.line_number = r.end_a + 1
-          LEFT JOIN ea eab ON eab.doc_id = r.db
-                          AND eab.line_number = r.end_b + 1
+          LEFT JOIN er eaa ON eaa.doc_id = r.da
+                          AND eaa.start_line = r.end_a + 1
+          LEFT JOIN er eab ON eab.doc_id = r.db
+                          AND eab.start_line = r.end_b + 1
         ), runs2 AS (
           -- merge same-delta runs whose gap is empty in BOTH docs,
           -- then extend over trailing empty-empty lines
