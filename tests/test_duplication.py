@@ -328,3 +328,62 @@ def test_empty_line_run_extension_cross_engine(spark):
         for l in r["locations"]
     )
     assert srows == [tuple(r) for r in drows]
+
+
+def test_suffix_candidates_survive_partial_claims(spark):
+    """Reference suffix emission (duplication.rs:141-165, engine flag
+    emit_suffixes): X=[A,B,C,D] claims d1/d3, V=[M,N,A] claims d2/d5,
+    V2=[R,S,A] claims d6/d7 — the [A,B,C] block then has NO free
+    location and dies, but its tail [B,C] is free at d2:4/d6:4 and
+    must surface as its own candidate exactly like the reference's
+    every-duplicate-start scan. Default (no suffixes) suppresses it;
+    both modes match their DuckDB twins row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from textalyzer_spark.oracles import duplicate_blocks_resolved_sql
+
+    A, B, C, D = "alpha", "bravo", "charlie", "delta"
+    M, N = "mmmlongtoken1", "nnnlongtoken2"
+    R, S = "rrrlongtoken3", "ssslongtoken4"
+    docs = [
+        (1, "\n".join([A, B, C, D])),
+        (3, "\n".join([A, B, C, D])),
+        (2, "\n".join([M, N, A, B, C])),
+        (5, "\n".join([M, N, A, "wfive"])),
+        (6, "\n".join([R, S, A, B, C])),
+        (7, "\n".join([R, S, A, "wseven"])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def rows(emit):
+        out = duplicate_blocks(df, min_lines=2, emit_suffixes=emit)
+        return sorted(
+            (r["content"], l["doc_id"], l["line"])
+            for r in out.collect()
+            for l in r["locations"]
+        )
+
+    plain, sfx = rows(False), rows(True)
+    tail = f"{B}\n{C}"
+    assert all(c != tail for c, _, _ in plain)
+    tail_locs = {(d, l) for c, d, l in sfx if c == tail}
+    assert tail_locs == {(2, 4), (6, 4)}
+    # containing blocks unaffected in both modes
+    for want in (f"{A}\n{B}\n{C}\n{D}", f"{M}\n{N}\n{A}", f"{R}\n{S}\n{A}"):
+        assert any(c == want for c, _, _ in plain)
+        assert any(c == want for c, _, _ in sfx)
+
+    # cross-engine: each mode matches its recursive-CTE twin
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    for emit, got in ((False, plain), (True, sfx)):
+        drows = sorted(
+            tuple(r)
+            for r in con.sql(
+                duplicate_blocks_resolved_sql(
+                    min_lines=2, synthesize=False, emit_suffixes=emit
+                )
+            ).fetchall()
+        )
+        assert got == drows, f"emit_suffixes={emit}"

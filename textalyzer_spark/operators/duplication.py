@@ -217,6 +217,36 @@ def _maximal_runs(pairs: DataFrame, lines: DataFrame) -> DataFrame:
     )
 
 
+def _suffix_runs(runs: DataFrame, lines: DataFrame) -> DataFrame:
+    """Reference suffix emission (duplication.rs:141-165 starts a
+    scan at EVERY duplicate non-empty line, so each maximal run also
+    yields a candidate per non-empty interior start): explode each
+    run into its suffixes, keeping those whose first line is
+    non-empty. L-fold candidate amplification — exposed behind
+    ``duplicate_blocks(emit_suffixes=True)`` because resolution
+    suppresses suffixes in all but pathological claim orders, and at
+    scale the amplification buys nothing (FIXTURES.md §3)."""
+    sfx = runs.select(
+        "da",
+        "db",
+        F.explode(F.sequence(F.lit(0), F.col("n_lines") - 1)).alias("k"),
+        "start_a",
+        "start_b",
+        "n_lines",
+    ).select(
+        "da",
+        "db",
+        (F.col("start_a") + F.col("k")).alias("start_a"),
+        (F.col("start_b") + F.col("k")).alias("start_b"),
+        (F.col("n_lines") - F.col("k")).cast("int").alias("n_lines"),
+    )
+    ne = lines.filter(F.col("trimmed") != "").select(
+        F.col("doc_id").alias("da"),
+        F.col("line_number").alias("start_a"),
+    )
+    return sfx.join(ne, ["da", "start_a"]).distinct()
+
+
 def _candidates(runs: DataFrame, lines: DataFrame) -> DataFrame:
     """Per-side block candidates: gate, dedent, content, both locations."""
     occ = runs.select(
@@ -455,6 +485,7 @@ def duplicate_blocks(
     resolve: bool = True,
     resolution: str = "auto",
     driver_max_candidates: int = 100_000,
+    emit_suffixes: bool = False,
 ) -> DataFrame:
     """Multi-line duplication (reference duplication.rs:52-339 +
     lib.rs:114-131). ``min_lines <= 1`` dispatches to
@@ -474,6 +505,15 @@ def duplicate_blocks(
     together by ultra-common filler can shrink — nothing changes
     below pathological density. ``None`` restores exact reference
     parity (documented deviation, FIXTURES.md §3).
+
+    ``emit_suffixes`` (default OFF) also emits every non-empty-start
+    SUFFIX of each maximal run as its own candidate, exactly like the
+    reference's every-duplicate-start scan (duplication.rs:141-165) —
+    an L-fold candidate amplification that changes the final answer
+    only when resolution rejects a containing block but leaves its
+    tail's cells free (see
+    test_suffix_candidates_survive_partial_claims). Default off: at
+    scale the amplification buys nothing.
 
     ``resolution``: ``'auto'`` (default) collects candidate blocks to
     the driver and resolves there when there are at most
@@ -496,6 +536,8 @@ def duplicate_blocks(
     lines = explode_lines(df, id_col, text_col)
     pairs = _matching_line_pairs(lines, max_locations_per_line)
     runs = _maximal_runs(pairs, lines)
+    if emit_suffixes:
+        runs = _suffix_runs(runs, lines)
     cands = _candidates(runs, lines)
 
     if resolve:

@@ -406,8 +406,26 @@ def embedding_near_dup_lsh_sql(
 # --------------------------------------------------------------------------
 
 
+_RUNS_FINAL_PLAIN = """
+          SELECT da, db, start_a, start_b, n_lines FROM runs_m"""
+
+# reference suffix emission (duplication.rs:141-165): one candidate
+# per non-empty-start suffix of each maximal run
+_RUNS_FINAL_SFX = """
+          SELECT DISTINCT s.da, s.db, s.start_a + s.k AS start_a,
+                 s.start_b + s.k AS start_b, s.n_lines - s.k AS n_lines
+          FROM (
+            SELECT r.*, unnest(range(r.n_lines)) AS k FROM runs_m r
+          ) s
+          JOIN lines l ON l.doc_id = s.da
+                      AND l.line_number = s.start_a + s.k
+          WHERE l.trimmed <> ''"""
+
+
 def _dup_candidates_ctes(
-    max_locations_per_line: int = 1000, synthesize: bool = True
+    max_locations_per_line: int = 1000,
+    synthesize: bool = True,
+    emit_suffixes: bool = False,
 ) -> str:
     """Shared CTE chain: synthesized line corpus (newline every 8
     tokens) -> duplicate-line seeds (with the skew cap) -> pairs ->
@@ -502,12 +520,13 @@ def _dup_candidates_ctes(
                                    ORDER BY start_a
                                    ROWS UNBOUNDED PRECEDING) AS mgrp
           FROM runs2
-        ), runs AS (
+        ), runs_m AS (
           SELECT da, db, min(start_a) AS start_a, min(start_b) AS start_b,
                  max(end_a) - min(start_a) + 1
                    + least(max_by(ea_next, end_a), max_by(eb_next, end_a))
                    AS n_lines
           FROM runs3 GROUP BY da, db, delta, mgrp
+        ), runs AS ({_RUNS_FINAL_SFX if emit_suffixes else _RUNS_FINAL_PLAIN}
         ), occ AS (
           SELECT da AS doc_id, start_a AS start, n_lines,
                  db AS o_doc, start_b AS o_start FROM runs
@@ -549,11 +568,13 @@ def duplicate_block_candidates_sql(
     max_locations_per_line: int = 1000,
     min_lines: int = 3,
     synthesize: bool = True,
+    emit_suffixes: bool = False,
 ) -> str:
     """Twin of ``duplicate_blocks(resolve=False)`` exploded to one row
     per (content, doc_id, line)."""
     return f"""
-        WITH {_dup_candidates_ctes(max_locations_per_line, synthesize)}
+        WITH {_dup_candidates_ctes(max_locations_per_line, synthesize,
+                                   emit_suffixes)}
         SELECT DISTINCT content, doc_id, line
         FROM locs
         WHERE len(list_filter(string_split(content, chr(10)),
@@ -584,6 +605,7 @@ def duplicate_blocks_resolved_sql(
     max_locations_per_line: int = 1000,
     min_lines: int = 3,
     synthesize: bool = True,
+    emit_suffixes: bool = False,
 ) -> str:
     """Twin of ``duplicate_blocks(resolve=True)`` — the reference's
     greedy overlap resolution (duplication.rs:298-336) as a RECURSIVE
@@ -605,7 +627,8 @@ def duplicate_blocks_resolved_sql(
     recursion is the right SQL twin; the candidate set it walks is
     orders of magnitude smaller than the corpus."""
     return f"""
-        WITH RECURSIVE {_dup_candidates_ctes(max_locations_per_line, synthesize)},
+        WITH RECURSIVE {_dup_candidates_ctes(max_locations_per_line, synthesize,
+                                             emit_suffixes)},
         blocks AS (
           SELECT content, locs,
                  len(string_split(content, chr(10))) AS n_lines,
