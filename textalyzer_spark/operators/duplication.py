@@ -32,12 +32,12 @@ rolling-hash duplicate detection"):
 Pinned-order deviations from the reference (FIXTURES.md §3): ties in
 the block sort are resolved content-asc and locations are claimed in
 (doc_id, line) order — the reference is HashMap-nondeterministic on
-both. One further documented deviation: only MAXIMAL runs become
-candidates (the reference also emits every unindented suffix of a run;
-those are suppressed by overlap resolution in all but pathological
-claim orders — emitting them would L-fold the candidate volume, the
-wrong trade at scale). Empty-line run extension (the reference's
-extension matches empty-to-empty) IS replicated since round 3:
+both; that is the only remaining deviation. Suffix-candidate
+emission (the reference's every-duplicate-start scan) is available
+behind ``emit_suffixes=True`` (default off — the L-fold
+amplification only matters under pathological partial claims,
+:func:`_suffix_runs`). Empty-line run extension (the reference's
+extension matches empty-to-empty) is replicated since round 3:
 same-delta runs bridge across both-sides-empty gaps and extend over
 trailing empty-empty lines (:func:`_maximal_runs`).
 
