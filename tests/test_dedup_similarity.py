@@ -273,3 +273,82 @@ def test_operators_tolerate_empty_and_tiny_corpora(spark):
     tq = tiny.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
     out = sim.ivf_cosine_topk(tiny, tq, k=3, n_clusters=16, n_probe=4)
     assert 0 < out.count() <= 3
+
+    # smaller still: 3 and 2 vectors — FEWER trained cells than
+    # n_probe=4, which crashed _probe_cells before the clamp (probe
+    # repeat counts must shrink with the centroid count)
+    for n in (3, 2):
+        t = spark.createDataFrame(rows[:n], "vec_id bigint, embedding array<double>")
+        tq = t.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+        out = sim.ivf_cosine_topk(t, tq, k=3, n_clusters=16, n_probe=4)
+        assert out.count() == n - 1  # all non-self neighbors found
+
+
+def test_ivf_sample_unbiased_on_id_skewed_corpus(spark):
+    """ids clustered by source: ids 0..299 one tight family (source
+    A), ids 10_000+ diverse (source B). The old smallest-id sample
+    would train every centroid on source A alone; the hash-ordered
+    md5(vec_id) sample is uncorrelated with id assignment, so it spans
+    both sources and the diverse source spreads across many cells
+    instead of funneling through centroids it never trained."""
+    import random
+
+    import numpy as np
+
+    import textalyzer_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [
+        (i, [x + rng.uniform(-1e-3, 1e-3) for x in base]) for i in range(300)
+    ]
+    rows += [
+        (10_000 + i, [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    v = df.select("vec_id", F.col("embedding").alias("vec"))
+
+    srows = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(256)
+        .collect()
+    )
+    n_b = sum(1 for r in srows if r.vec_id >= 10_000)
+    # the sample spans both sources (~half each); the smallest-id
+    # sample would have n_b == 0
+    assert 64 <= n_b <= 192
+
+    cents = sim._kmeans_fit_sample(
+        np.stack([np.asarray(r.vec, dtype=np.float64) for r in srows]), 16, 3
+    )
+    assigned = sim._assign_nearest(v, cents)
+    b_pops = {
+        r["cluster"]: r["n"]
+        for r in assigned.filter("vec_id >= 10000")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # bounded-factor cell balance for the diverse source: spread over
+    # many cells, largest cell well under the whole source
+    assert len(b_pops) >= 8
+    assert max(b_pops.values()) <= 150
+
+
+def test_cosine_topk_query_collect_guard(spark):
+    """cosine_topk collects the query table to the driver; the bound
+    is now enforced — an oversized query set fails fast with guidance
+    instead of silently OOMing the driver."""
+    import pytest
+
+    import textalyzer_spark.operators.similarity as sim
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError, match="lsh_cosine_topk"):
+        sim.cosine_topk(df, q, k=2, max_queries=5)
+    # under the bound the same call succeeds
+    assert sim.cosine_topk(df, q.limit(3), k=2, max_queries=5).count() == 6

@@ -91,6 +91,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query:
     ``(query_id, vec_id, cosine, rank)``; ``cosine`` rounded to 4
@@ -100,7 +101,10 @@ def cosine_topk(
 
     The corpus never shuffles: the query matrix is collected to the
     driver (bounded — an ANN query set is small by definition, n_q x
-    dim doubles; the previous design already broadcast it) and shipped
+    dim doubles, and ``max_queries`` ENFORCES the bound: the collect
+    fetches at most max_queries + 1 rows and raises with guidance
+    toward :func:`lsh_cosine_topk` / a broadcast-join formulation
+    before an oversized "query" table can OOM the driver) and shipped
     in the task closure, each corpus partition scores its rows with
     ONE (batch x dim) @ (dim x n_q) numpy matmul per Arrow batch and
     reduces to a local top-k, so the only exchange is n_partitions x
@@ -116,10 +120,21 @@ def cosine_topk(
 
     q_type = dict(queries.dtypes)[query_id_col]
     id_type = dict(vectors.dtypes)[id_col]
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk collects the query set to the driver; got "
+            f"> {max_queries} query rows. For large query sets use "
+            "lsh_cosine_topk (bucketed equi-join) or raise max_queries "
+            "explicitly if the driver can hold the query matrix."
+        )
     schema = f"query_id {q_type}, vec_id {id_type}, cosine double"
     if not q_rows:
         return (
@@ -201,6 +216,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 1024,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs:
     ``(vec_a, vec_b, cosine)`` for all pairs with cosine >= threshold,
@@ -229,7 +245,15 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    n = v.count()
+    # block count needs the corpus size; accept a caller hint (exact
+    # value only shapes block granularity, so an estimate is fine) to
+    # skip the extra count job — else count a cached v so the scan is
+    # not repeated by the groupBy below
+    if n_docs is not None:
+        n = n_docs
+    else:
+        v = v.localCheckpoint()
+        n = v.count()
     n_blocks = max(1, -(-n // block_size))
     blocked = v.groupBy(
         F.pmod(F.xxhash64(F.col("vid").cast("string")), F.lit(n_blocks))
@@ -248,14 +272,17 @@ def embedding_near_dup_pairs(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids_x = np.asarray([it["vid"] for it in row["ix"]])
-                ids_y = np.asarray([it["vid"] for it in row["iy"]])
+            # itertuples: each row amortizes a G x G matmul, but the
+            # per-row Series construction of iterrows was still ~10x
+            # the tuple cost for free
+            for row in pdf.itertuples(index=False):
+                ids_x = np.asarray([it["vid"] for it in row.ix])
+                ids_y = np.asarray([it["vid"] for it in row.iy])
                 mx = np.stack(
-                    [np.asarray(it["vec"], dtype=np.float64) for it in row["ix"]]
+                    [np.asarray(it["vec"], dtype=np.float64) for it in row.ix]
                 )
                 my = np.stack(
-                    [np.asarray(it["vec"], dtype=np.float64) for it in row["iy"]]
+                    [np.asarray(it["vec"], dtype=np.float64) for it in row.iy]
                 )
                 nx = np.sqrt(np.einsum("ij,ij->i", mx, mx))
                 ny = np.sqrt(np.einsum("ij,ij->i", my, my))
@@ -275,7 +302,7 @@ def embedding_near_dup_pairs(
                     {"vec_a": lo, "vec_b": hi, "cosine": cos[ai, bi]}
                 )
                 # the diagonal block sees each pair twice (i,j)+(j,i)
-                if row["bx"] == row["by"]:
+                if row.bx == row.by:
                     out = out.drop_duplicates(["vec_a", "vec_b"])
                 yield out
 
@@ -459,6 +486,9 @@ def _probe_cells(
     c_mat = np.asarray(centroids, dtype=np.float64)
     c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
     n_clusters = len(centroids)
+    # a tiny corpus can train fewer cells than n_probe: probe them all
+    # (the DuckDB twin's rn <= n_probe tolerates this by construction)
+    p = min(n_probe, n_clusters)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -471,13 +501,12 @@ def _probe_cells(
             sims = (mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             # stable argsort on the cluster-reversed axis: equal sims
             # keep the FIRST reversed position = the largest index
-            idx = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, :n_probe]
+            idx = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, :p]
             cluster = (n_clusters - 1 - idx).astype(np.int32)
-            n = len(pdf)
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy().repeat(n_probe),
-                    "q_vec": pdf["q_vec"].to_numpy().repeat(n_probe),
+                    "query_id": pdf["query_id"].to_numpy().repeat(p),
+                    "q_vec": pdf["q_vec"].to_numpy().repeat(p),
                     "cluster": cluster.ravel(),
                 }
             )
@@ -505,9 +534,12 @@ def ivf_cosine_topk(
     Output schema/ordering identical to :func:`cosine_topk`.
 
     The quantizer is fit on a BOUNDED deterministic sample — the
-    ``sample_size`` smallest vec_ids, a distributed TakeOrdered, then
-    driver-side numpy k-means (:func:`_kmeans_fit_sample`) on
-    n_sample x dim floats. Fitting a 16-centroid coarse quantizer
+    ``sample_size`` smallest ``md5(vec_id)`` hashes (a hash-ordered
+    TakeOrdered: deterministic like an id sort, but uncorrelated with
+    ingest order, so id-clustered corpora — e.g. ids assigned per
+    source — still train representative centroids), then driver-side
+    numpy k-means (:func:`_kmeans_fit_sample`) on n_sample x dim
+    floats. Fitting a 16-centroid coarse quantizer
     never needs the full corpus; the previous formulation ran three
     full-corpus ``posexplode(vec)`` shuffles (64x row amplification
     each) just to average 16 cells — at 100x scale the training
@@ -529,9 +561,15 @@ def ivf_cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    # deterministic bounded sample: smallest sample_size ids (top-N,
-    # not a full sort); driver holds sample_size x dim doubles
-    srows = v.orderBy("vec_id").limit(sample_size).collect()
+    # deterministic bounded sample: smallest sample_size md5(vec_id)
+    # hashes (top-N, not a full sort); driver holds sample_size x dim
+    # doubles. Hash order decorrelates the sample from id assignment —
+    # lowest-id sampling skews centroids when ids track source/time.
+    srows = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_size)
+        .collect()
+    )
     q_type = dict(queries.dtypes)[query_id_col]
     id_type = dict(vectors.dtypes)[id_col]
     if not srows:

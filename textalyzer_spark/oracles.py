@@ -779,18 +779,22 @@ def ivf_cosine_topk_sql(
     """Value-exact twin of ``ivf_cosine_topk`` over the embeddings
     table: the driver-side sample k-means is unrolled into ``iters``
     assign/update CTE pairs over the SAME bounded sample (the
-    sample_size smallest vec_ids; init = its first n_clusters
-    vectors, quantized mean updates, pinned argmax tiebreaks); only
-    the final assignment scans the full table — mirroring the
-    engine's single distributed pass."""
+    sample_size smallest md5(vec_id) hashes — Spark lower-hex md5 ==
+    DuckDB md5, so the hash order is engine-identical; init = the
+    sample's first n_clusters vectors in that same hash order,
+    quantized mean updates, pinned argmax tiebreaks); only the final
+    assignment scans the full table — mirroring the engine's single
+    distributed pass."""
+    horder = "md5(CAST(vec_id AS VARCHAR)), vec_id"
     ctes = [
         f"""v AS (
           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
         ), vs AS (
-          SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {sample_size}
+          SELECT vec_id, e FROM v ORDER BY {horder} LIMIT {sample_size}
         ), c0 AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS ce
-          FROM vs ORDER BY vec_id LIMIT {n_clusters}
+          SELECT row_number() OVER (ORDER BY {horder}) - 1 AS cluster,
+                 e AS ce
+          FROM vs ORDER BY {horder} LIMIT {n_clusters}
         )"""
     ]
     for i in range(1, iters + 1):
