@@ -145,7 +145,10 @@ def _empty_runs(lines: DataFrame) -> DataFrame:
     )
 
 
-def _maximal_runs(pairs: DataFrame, lines: DataFrame) -> DataFrame:
+def _maximal_runs(
+    pairs: DataFrame, lines: DataFrame, docs: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
     """Gaps-and-islands maximal runs per doc pair, with the
     reference's EMPTY-LINE extension (duplication.rs:174-185 matches
     trimmed equality, so empty==empty keeps extending): two same-delta
@@ -155,7 +158,42 @@ def _maximal_runs(pairs: DataFrame, lines: DataFrame) -> DataFrame:
     gaps-and-islands over the run table keyed by
     "gap covered by both sides' empty_ahead" instead of a sequential
     rescan — the merge table is runs, not lines, so this costs one
-    tiny extra window."""
+    tiny extra window.
+
+    The whole merge/extension pass is GUARDED, two levels: bridging
+    and trailing extension both add least(ea_next, eb_next) lines, so
+    they can only change a run when that SAME run has an empty line
+    at end_a+1 in doc A AND at end_b+1 in doc B.
+
+    * Level 1 (``docs`` provided): one document-level ``rlike`` for
+      any whitespace-only line — a conservative SUPERSET of
+      trimmed=='' (F.trim strips spaces only; the class adds \\t \\f
+      \\x0B \\r, so a false positive only costs the level-2 probe,
+      never correctness). A corpus with no such line — most code/prose
+      corpora, including the driver tables — skips everything below,
+      keeping the plan fully lazy with zero extra materialization.
+    * Level 2: an adjacency probe on the materialized run table (two
+      equi-joins against the exact empty-line set, limit 1) decides
+      whether the empty-run window, both left joins, and the merge
+      window actually run (the round-3 unconditional pass cost
+      ~0.5-0.9 s at sf0.1 for nothing on empty-free corpora)."""
+    if docs is not None:
+        ws_line = docs.filter(
+            F.col(text_col).rlike(r"(?m)^[ \t\f\x0B\r]*$")
+        ).limit(1)
+        if not ws_line.count():
+            w0 = Window.partitionBy("da", "db", "delta").orderBy("la")
+            return (
+                pairs.withColumn("delta", F.col("la") - F.col("lb"))
+                .withColumn("island", F.col("la") - F.row_number().over(w0))
+                .groupBy("da", "db", "delta", "island")
+                .agg(
+                    F.min("la").alias("start_a"),
+                    F.min("lb").alias("start_b"),
+                    F.count(F.lit(1)).cast("int").alias("n_lines"),
+                )
+                .select("da", "db", "start_a", "start_b", "n_lines")
+            )
     w = Window.partitionBy("da", "db", "delta").orderBy("la")
     base = (
         pairs.withColumn("delta", F.col("la") - F.col("lb"))
@@ -169,6 +207,35 @@ def _maximal_runs(pairs: DataFrame, lines: DataFrame) -> DataFrame:
         .withColumn("end_a", F.col("start_a") + F.col("n_seed") - 1)
         .withColumn("end_b", F.col("start_b") + F.col("n_seed") - 1)
     )
+    # materialize the (small) run table once: the probe reads it and,
+    # on the merge path, the downstream pipeline reuses it
+    base = base.localCheckpoint()
+    emp = lines.filter(F.col("trimmed") == "").select("doc_id", "line_number")
+    probe = (
+        base.join(
+            emp.select(
+                F.col("doc_id").alias("da"),
+                (F.col("line_number") - 1).alias("end_a"),
+            ),
+            ["da", "end_a"],
+        )
+        .join(
+            emp.select(
+                F.col("doc_id").alias("db"),
+                (F.col("line_number") - 1).alias("end_b"),
+            ),
+            ["db", "end_b"],
+        )
+        .limit(1)
+    )
+    if not probe.count():
+        return base.select(
+            "da",
+            "db",
+            "start_a",
+            "start_b",
+            F.col("n_seed").cast("int").alias("n_lines"),
+        )
     er = _empty_runs(lines)
     a_side = er.select(
         F.col("doc_id").alias("da"),
@@ -535,7 +602,7 @@ def duplicate_blocks(
 
     lines = explode_lines(df, id_col, text_col)
     pairs = _matching_line_pairs(lines, max_locations_per_line)
-    runs = _maximal_runs(pairs, lines)
+    runs = _maximal_runs(pairs, lines, docs=df, text_col=text_col)
     if emit_suffixes:
         runs = _suffix_runs(runs, lines)
     cands = _candidates(runs, lines)
