@@ -9,18 +9,21 @@ Engine implementation lives in ``textalyzer_spark/``; this module is
 a thin registry binding operators from SURVEY.md §2 to the driver's
 flat ``documents``/``embeddings`` parquet tables.
 
-Tokenizer/oracle scope note: the engine tokenizes on the full Unicode
-alphabetic class (Java \\p{IsAlphabetic} / Python [^\\W\\d_], matching
-the reference's char::is_alphabetic). The word_frequency oracle uses
-a GENERATED token class (oracles.alpha_token_regex — Latin scripts
-through 0x024F, extendable), pytest-proven on accented fixtures
-(tests/test_oracle_edge_corpus.py); the remaining text oracles use
-``[a-z]+``, exact on ASCII corpora — which the driver tables are
-(verified: zero non-ASCII rows at every sf). A non-ASCII production
-corpus would regenerate those classes the same way (three regex
-engines' full-Unicode tables cannot be byte-identical in general;
-Unicode fixtures are pytest-checked instead — tests/test_tokens.py,
-tests/test_frequency.py).
+Tokenizer/oracle scope note: the engine tokenizes on the JVM's full
+Unicode alphabetic class — Java \\p{IsAlphabetic} on the Catalyst
+path and the SAME table compiled into the Arrow-UDF path (functions.
+alphabet.py_alpha_regex, generated from the live JVM by tools/
+gen_unicode_tables.py), matching the reference's char::is_alphabetic.
+EVERY tokenizing oracle extracts raw runs with that generated class
+and lowercases per token with the final-sigma-aware expression
+(functions.alphabet.tok_lower_sql); whole-text-lower oracles
+(fingerprint, winnow_pairs) replay the sigma context with
+text_lower_sql. Verified range: every script, bounded only by the
+documented exclusions in functions/alphabet.py (4 codepoints whose
+utf8proc lower() diverges, exotic mixed-script sigma contexts);
+Greek/Cyrillic/CJK fixtures run the gate mirror in
+tests/test_oracle_edge_corpus.py. char_frequency and token_counts
+are ASCII-class BY DESIGN in engine and oracle alike.
 """
 
 from __future__ import annotations
@@ -480,6 +483,14 @@ def oracle_sql() -> dict[str, str]:
         "word_frequency": _o.word_frequency_sql(),
         "span_word_frequency": _o.word_frequency_sql(),
     }
+    # shared token expressions: extract raw alphabetic runs with the
+    # JVM-generated class, then lower PER TOKEN with the final-sigma-
+    # aware expression — the engine's split-then-lower order, exact
+    # beyond Latin (functions.alphabet's verified-range contract)
+    from textalyzer_spark.functions import alphabet as _a
+
+    _rx = _o.alpha_token_regex()
+    _toks = _a.toks_lower_sql(f"regexp_extract_all(text, '{_rx}')")
     inline = {
         "char_frequency": """
             WITH chars AS (
@@ -588,12 +599,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY 1
         """,
-        "shingle_dup": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
-                     generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
-              FROM documents
+        "shingle_dup": f"""
+            WITH rawt AS (
+              SELECT doc_id, {_toks} AS tl FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(tl) AS w,
+                     generate_subscripts(tl, 1) AS pos
+              FROM rawt
             ), sh AS (
               SELECT doc_id,
                      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
@@ -606,10 +618,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY shingle HAVING count(DISTINCT doc_id) > 1
             ORDER BY n_occurrences DESC, shingle ASC
         """,
-        "readability": """
+        "readability": f"""
             WITH t AS (
               SELECT doc_id,
-                     regexp_extract_all(lower(text), '[a-z]+') AS toks,
+                     {_toks} AS toks,
                      greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
                                               s -> trim(s) <> '')), 1) AS n_sentences
               FROM documents
@@ -639,11 +651,11 @@ def oracle_sql() -> dict[str, str]:
                 AS fk_grade
             FROM agg
         """,
-        "token_stats": """
+        "token_stats": f"""
             WITH t AS (
               SELECT doc_id,
                      CAST(length(text) AS BIGINT) AS n_chars,
-                     regexp_extract_all(lower(text), '[a-z]+') AS toks,
+                     {_toks} AS toks,
                      CAST(length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS BIGINT)
                        AS n_alpha_chars
               FROM documents
@@ -663,11 +675,11 @@ def oracle_sql() -> dict[str, str]:
                    THEN round(n_alpha_chars / CAST(n_chars AS DOUBLE), 4) END AS alpha_ratio
             FROM t
         """,
-        "quality_score": """
+        "quality_score": f"""
             WITH t AS (
               SELECT doc_id,
                      CAST(length(text) AS BIGINT) AS n_chars,
-                     regexp_extract_all(lower(text), '[a-z]+') AS toks,
+                     {_toks} AS toks,
                      CAST(length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS BIGINT)
                        AS n_alpha_chars
               FROM documents
@@ -697,9 +709,9 @@ def oracle_sql() -> dict[str, str]:
               alpha_ratio
             FROM s
         """,
-        "lang_id": """
+        "lang_id": f"""
             WITH t AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+              SELECT doc_id, {_toks} AS toks
               FROM documents
             ), s AS (
               SELECT doc_id,
@@ -725,9 +737,12 @@ def oracle_sql() -> dict[str, str]:
               CAST(greatest(s_de,s_en,s_es,s_fr,s_zh) AS BIGINT) AS lang_score
             FROM s
         """,
-        "fingerprint": r"""
+        "fingerprint": rf"""
+            -- whole-text lower with the final-sigma replay (the
+            -- engine fingerprints F.lower(text), JDK context rules)
             SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+                   md5(trim(regexp_replace({_a.text_lower_sql('text')},
+                                           '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
         "exact_dedup": """
@@ -737,12 +752,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
-        "ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
-                     generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
-              FROM documents
+        "ngram_jaccard": f"""
+            WITH rawt AS (
+              SELECT doc_id, {_toks} AS tl FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(tl) AS w,
+                     generate_subscripts(tl, 1) AS pos
+              FROM rawt
             ), sh AS (
               SELECT DISTINCT doc_id,
                      w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win || ' '
@@ -792,17 +808,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
     }
-    # the ENGINE tokenizes with the full alphabetic class everywhere;
-    # swap the generated Latin-script class (ASCII-identical to the
-    # hand-written [a-z]+ on the driver tables — see alpha_token_regex)
-    # into every token-class position so an accented corpus cannot
-    # flip these rows either (same closure word_frequency already has)
-    rx, neg = _o.alpha_token_regex(), _o.alpha_strip_regex()
-    for name in (
-        "shingle_dup", "readability", "token_stats", "quality_score",
-        "lang_id", "ngram_jaccard",
-    ):
-        inline[name] = inline[name].replace("'[a-z]+'", f"'{rx}'")
+    # n_alpha_chars strips non-letters from UNLOWERED text — swap the
+    # generated negated class in (the tokenizing positions above are
+    # already interpolated via _toks)
+    neg = _o.alpha_strip_regex()
     for name in ("token_stats", "quality_score"):
         inline[name] = inline[name].replace("'[^a-zA-Z]+'", f"'{neg}'")
     return generated | inline

@@ -171,6 +171,77 @@ def test_hash_oracles_on_planted_neardups(spark, neardup_sf_dir, name):
         assert len(rows) > 0, f"{name}: planted near-dups not found"
 
 
+GREEK_SENT = (
+    "Ο Οδυσσεύς ήταν μέγας ήρωας της Ιθάκης και ταξίδεψε πολλά "
+    "χρόνια στις θάλασσες"
+)
+
+MULTISCRIPT_DOCS = [
+    # Greek with uppercase final-sigma words: Spark/Python lower to ς,
+    # plain DuckDB lower() to σ — the exact context the generated
+    # sigma-aware oracle expressions exist for
+    (1, "Ο ΟΔΥΣΣΕΥΣ ΗΤΑΝ ΜΕΓΑΣ ΗΡΩΑΣ ΤΗΣ ΙΘΑΚΗΣ"),
+    (2, GREEK_SENT),
+    (3, GREEK_SENT + " και άλλες λέξεις"),  # planted Greek near-dup of 2
+    (4, "ΘΕΣΣΑΛΟΝΙΚΗ, ΠΟΛΙΣ ΤΗΣ ΜΑΚΕΔΟΝΙΑΣ. ΣΣΣ"),
+    # polytonic Greek + titlecase sigma contexts
+    (5, "ᾼΣ γράμματα καὶ ἀρχαῖα κείμενα τῆς ἑλληνικῆς"),
+    # Cyrillic (plain + Ё)
+    (6, "Привет мир это документ на русском языке с Ёлкой"),
+    (7, "ПРИВЕТ МИР ЭТО ЗАГЛАВНЫЙ ТЕКСТ НА РУССКОМ"),
+    # CJK (no case; splits only on non-alphabetic chars)
+    (8, "中文文档测试 这是一个 例子 文本分析"),
+    (9, "日本語のテキストです 形態素 解析"),
+    # mixed scripts + digits/punct separators
+    (10, "mixed Ελληνικά and русский and 中文 tokens 123 end"),
+    (11, "Οι ΔΡΟΜΟΙΣ και οι ΝΙΚΕΣ: τέλος."),
+    # Greek line-duplication corpus (tokenizing + line ops together)
+    (12, "πρώτη γραμμή κειμένου\nδεύτερη γραμμή\nπρώτη γραμμή κειμένου"),
+]
+
+# every gate query whose semantics touch tokenization or lowering,
+# plus the line/byte ops (script-independent but cheap to pin here)
+MULTISCRIPT_QUERIES = [
+    "word_frequency", "span_word_frequency", "shingle_dup",
+    "readability", "token_stats", "quality_score", "lang_id",
+    "ngram_jaccard", "minhash_lsh", "simhash_pairs", "winnow_pairs",
+    "fingerprint", "exact_dedup", "char_frequency", "token_counts",
+    "duplicate_lines", "line_length", "line_display_width",
+]
+
+
+@pytest.fixture(scope="module")
+def multiscript_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("multiscript_sf")
+    spark.createDataFrame(
+        MULTISCRIPT_DOCS, "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", MULTISCRIPT_QUERIES)
+def test_multiscript_gate_mirror(spark, multiscript_sf_dir, name):
+    """Round-4 headline: the gate mirror passes on a Greek + Cyrillic
+    + CJK corpus for every tokenizing query — the oracle token class
+    is the JVM's own table and per-token/whole-text lowering replays
+    the final-sigma rule (functions/alphabet.py)."""
+    _compare(spark, multiscript_sf_dir, name)
+
+
+def test_multiscript_word_frequency_values(spark, multiscript_sf_dir):
+    """Spot-check actual token values, not just cross-engine equality:
+    final sigma, Cyrillic casefold, and CJK runs all land."""
+    rows = _compare(spark, multiscript_sf_dir, "word_frequency")
+    counts = {w: c for c, w in rows}
+    assert counts["οδυσσευς"] >= 1          # ΟΔΥΣΣΕΥΣ -> final ς
+    assert counts["μεγας"] >= 1             # ΜΕΓΑΣ -> μεγας (final ς)
+    assert counts["πολις"] >= 1
+    assert counts["привет"] >= 2            # upper + lower merge
+    assert counts["ёлкой"] >= 1
+    assert counts["中文文档测试"] >= 1      # one unsplit CJK run
+    assert "οδυσσευσ" not in counts         # the σ misrender must NOT appear
+
+
 def _mk_line(tag: str, width: int) -> str:
     """One 8-token line (single-space separated): a FIXED POINT of the
     registered pipeline's newline-every-8-tokens synthesis, so the

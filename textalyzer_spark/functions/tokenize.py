@@ -21,18 +21,22 @@ Two implementations:
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-# Python re: [^\W\d_] == "word char that is not digit or underscore"
-# == Unicode letters (+ a few Other_Alphabetic marks), the practical
-# equivalent of Rust char::is_alphabetic for real-world text.
-_ALPHA_RUN = re.compile(r"[^\W\d_]+")
+from textalyzer_spark.functions.alphabet import py_alpha_regex
+
+# The JVM's own IsAlphabetic table as a Python class (generated,
+# tools/gen_unicode_tables.py) — so this path splits EXACTLY like
+# tokens_col's \p{IsAlphabetic} on every codepoint. (The previous
+# [^\W\d_] approximation admitted superscripts/fractions like ²³¼
+# and missed Nl / Other_Alphabetic codepoints above 0x024F.)
+# Token lowercasing stays str.lower: probed equal to the JVM's lower
+# on every alphabetic codepoint, final-sigma contexts included.
+_ALPHA_RUN = py_alpha_regex()
 
 
 def tokenize_text(text: str) -> list[str]:

@@ -27,69 +27,50 @@ def _values_rows(rows: list[tuple]) -> str:
 # --------------------------------------------------------------------------
 
 
-def alpha_token_regex(max_cp: int = 0x024F) -> str:
+def alpha_token_regex() -> str:
     """RE2 token regex mirroring the registered queries' JVM
-    tokenizer (tokens_col, Java ``\\p{IsAlphabetic}``) — the
-    wcwidth-range-table technique applied to the tokenizer, so a
-    non-ASCII corpus cannot silently diverge engine-vs-oracle.
+    tokenizer (tokens_col, Java ``\\p{IsAlphabetic}``): the class is
+    GENERATED from the live JVM's own table (tools/
+    gen_unicode_tables.py — the wcwidth-range-table technique applied
+    to the tokenizer) and covers the ENTIRE codepoint space, so the
+    split has a value-exact cross-engine twin on every script, not
+    just Latin. Per-token lowercasing parity is the remaining bound:
+    see functions.alphabet's verified-range contract (4 divergent
+    codepoints + exotic final-sigma contexts documented out).
+    On pure-ASCII corpora the class reduces to exactly the rows
+    ``[a-z]+`` produced, so its presence in a registered oracle is
+    behavior-preserving for the driver tables."""
+    from textalyzer_spark.functions.alphabet import re2_alpha_class
 
-    Membership is generated from ``str.isalpha`` (Unicode general
-    category L*), which equals Java's IsAlphabetic on every codepoint
-    <= the default ``max_cp`` (no Nl / Other_Alphabetic codepoints
-    exist below 0x0250; note ``[^\\W\\d_]`` would NOT do — it admits
-    superscripts/fractions like U+00B2 that Java excludes). Coverage
-    is bounded at ``max_cp`` (default 0x024F: Basic Latin through
-    Latin Extended-B) — raise it to extend to other scripts at the
-    cost of a longer class, auditing the Nl/Other_Alphabetic gap
-    first. On pure-ASCII corpora the generated class reduces to
-    exactly the rows ``[a-z]+`` produced, so swapping it into a
-    registered oracle is behavior-preserving for the driver tables.
-    """
-    ranges: list[tuple[int, int]] = []
-    cp = 0
-    while cp <= max_cp:
-        if chr(cp).isalpha():
-            start = cp
-            while cp <= max_cp and chr(cp).isalpha():
-                cp += 1
-            ranges.append((start, cp - 1))
-        else:
-            cp += 1
-
-    def fmt(c: int) -> str:
-        ch = chr(c)
-        if ch in "[]^-\\":
-            return "\\" + ch
-        if 0x20 <= c < 0x7F:
-            return ch
-        return f"\\x{{{c:04X}}}"
-
-    body = "".join(
-        fmt(a) + (("-" + fmt(b)) if b > a else "") for a, b in ranges
-    )
-    return f"[{body}]+"
+    return "[" + re2_alpha_class() + "]+"
 
 
-def alpha_strip_regex(max_cp: int = 0x024F) -> str:
+def alpha_strip_regex() -> str:
     """Negated form of :func:`alpha_token_regex` — strips every
     non-letter from UNLOWERED text, mirroring the engine's
     ``[^\\p{IsAlphabetic}]+`` (quality.token_stats n_alpha_chars)."""
-    rx = alpha_token_regex(max_cp)
-    return "[^" + rx[1:-2] + "]+"
+    from textalyzer_spark.functions.alphabet import re2_strip_class
+
+    return re2_strip_class()
 
 
 def word_frequency_sql() -> str:
-    """Twin of ``word_frequency`` with the generated token alphabet —
-    identical to the old hand-written ``[a-z]+`` oracle on ASCII,
-    and correct on Latin-script accented corpora too."""
+    """Twin of ``word_frequency``: extract raw-token runs with the
+    JVM-generated alphabet, then lowercase PER TOKEN with the
+    final-sigma-aware expression — the same split-then-lower order as
+    the engine (frequency.rs:34-45 parity), which matters beyond
+    Latin (Σ at token end lowers to ς in both Spark and Python; plain
+    DuckDB lower() would yield σ)."""
+    from textalyzer_spark.functions.alphabet import tok_lower_sql
+
     rx = alpha_token_regex()
     return f"""
-        SELECT w AS word, count(*) AS count
+        SELECT {tok_lower_sql('w')} AS word, count(*) AS count
         FROM (
-          SELECT unnest(regexp_extract_all(lower(text), '{rx}')) AS w
+          SELECT unnest(regexp_extract_all(text, '{rx}')) AS w
           FROM documents
         )
-        GROUP BY w
+        GROUP BY 1
         ORDER BY count DESC, word ASC
     """
 
@@ -118,13 +99,17 @@ def minhash_lsh_sql(
     lead_join = " || ' ' || ".join(
         ["w"] + [f"lead(w,{j}) OVER win" for j in range(1, k)]
     )
+    from textalyzer_spark.functions.alphabet import toks_lower_sql
+
     rx = alpha_token_regex()
+    toks_expr = toks_lower_sql(f"regexp_extract_all(text, '{rx}')")
     return f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '{rx}')) AS w,
-                 generate_subscripts(regexp_extract_all(lower(text), '{rx}'), 1) AS pos
-          FROM documents
+        WITH rawt AS (
+          SELECT doc_id, {toks_expr} AS tl FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(tl) AS w,
+                 generate_subscripts(tl, 1) AS pos
+          FROM rawt
         ), sh AS (
           SELECT DISTINCT doc_id, {lead_join} AS shingle
           FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
@@ -186,11 +171,16 @@ def simhash_pairs_sql(max_hamming: int = 6) -> str:
     pigeonhole banding is recall-COMPLETE for Hamming <= max_hamming
     (any such pair collides on >=1 exact chunk), so all-pairs over
     the same simhash values defines the identical output set."""
+    from textalyzer_spark.functions.alphabet import tok_lower_sql
+
     return f"""
         WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '{alpha_token_regex()}')) AS w
-          FROM documents
+          SELECT doc_id, {tok_lower_sql('w')} AS w
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{alpha_token_regex()}')) AS w
+            FROM documents
+          )
         ), bits AS (
           -- per (doc, bit j): sum over ALL tokens of +/-1 on bit j of
           -- the token's md5-LE8 hash (multiplicity preserved)
@@ -245,12 +235,19 @@ def winnow_pairs_sql(
         f" * CAST('{pows[j]}' AS HUGEINT)"
         for j in range(k)
     )
+    from textalyzer_spark.functions.alphabet import text_lower_sql
+
+    lt = text_lower_sql("text")
     return f"""
-        WITH chars AS (
+        WITH lowt AS (
+          -- whole-text lower with the final-sigma replay: the engine
+          -- hashes text.lower() (Python == JVM rules incl. ς)
+          SELECT doc_id, {lt} AS lt FROM documents
+        ), chars AS (
           SELECT doc_id,
-                 unnest(string_split(lower(text), '')) AS c,
-                 generate_subscripts(string_split(lower(text), ''), 1) AS pos
-          FROM documents
+                 unnest(string_split(lt, '')) AS c,
+                 generate_subscripts(string_split(lt, ''), 1) AS pos
+          FROM lowt
         ), bytes AS (
           -- both engines hash Unicode CODEPOINTS (ascii() yields the
           -- codepoint for any char), so parity holds on every script
