@@ -207,6 +207,9 @@ MULTISCRIPT_QUERIES = [
     "ngram_jaccard", "minhash_lsh", "simhash_pairs", "winnow_pairs",
     "fingerprint", "exact_dedup", "char_frequency", "token_counts",
     "duplicate_lines", "line_length", "line_display_width",
+    # roundtrip extractions: the synthesize->extract templates must be
+    # invertible beyond latin-1 (UTF-8 PDF literals since round 4)
+    "pdf_extract_text", "html_main_content",
 ]
 
 

@@ -263,15 +263,21 @@ def _pdf_streams(data: bytes):
 
 
 def _pdf_literal(s: bytes) -> str:
-    """Decode one PDF literal string body (escapes + octal), WinAnsi/
-    ASCII subset."""
-    out, i, n = [], 0, len(s)
+    """Decode one PDF literal string body: escapes + octal resolve to
+    BYTES first, then the byte string decodes as UTF-8 with a Latin-1
+    fallback. UTF-8-first makes the synthesize->extract roundtrip
+    exact for every Unicode codepoint (round-3's chr-per-byte decode
+    was Latin-1-only — ADVICE round 3); on real single-byte-encoded
+    PDFs the fallback keeps the old WinAnsi-ish behavior except for
+    accented byte runs that happen to be valid UTF-8 (a documented
+    heuristic — byte-string PDFs carry no encoding marker)."""
+    out, i, n = bytearray(), 0, len(s)
     while i < n:
         c = s[i]
         if c == 0x5C and i + 1 < n:  # backslash
             nxt = s[i + 1]
-            mapped = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b",
-                      0x66: "\f", 0x28: "(", 0x29: ")", 0x5C: "\\"}
+            mapped = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                      0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
             if nxt in mapped:
                 out.append(mapped[nxt])
                 i += 2
@@ -285,14 +291,17 @@ def _pdf_literal(s: bytes) -> str:
                 code = 0
                 for d in oct_digits:
                     code = code * 8 + d
-                out.append(chr(code))
+                out.append(code & 0xFF)  # spec: one 8-bit byte
                 i = j
                 continue
             i += 1  # line continuation / unknown escape: drop backslash
             continue
-        out.append(chr(c))
+        out.append(c)
         i += 1
-    return "".join(out)
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return out.decode("latin-1")
 
 
 def _pdf_content_tokens(stream: bytes):
@@ -361,9 +370,10 @@ def pdf_extract_text_bytes(data: bytes) -> str:
     numbers are ignored. BT/ET themselves are recognized as TOKENS
     (not regex matches), so an ET inside a string literal cannot
     truncate a text block. Scope: unencrypted PDFs with plain or
-    Flate-compressed content streams and byte-string (ASCII/WinAnsi)
-    text — no CID/UTF-16 fonts (the tier note in the module
-    docstring applies)."""
+    Flate-compressed content streams and byte-string text (UTF-8
+    first, Latin-1 fallback — see ``_pdf_literal``) — no CID/UTF-16
+    hex-string fonts (the tier note in the module docstring
+    applies)."""
     chunks: list[str] = []
     for stream in _pdf_streams(data):
         parts: list[str] = []
@@ -374,7 +384,10 @@ def pdf_extract_text_bytes(data: bytes) -> str:
 
         def flush() -> None:
             text = "".join(parts).strip("\n")
-            if text.strip():
+            # ASCII whitespace set, matching the driver oracle's trim
+            # exactly (str.strip()'s Unicode set also drops \x1c-\x1f/
+            # \x85/\xa0-only blocks the oracle keeps — ADVICE round 3)
+            if text.strip(" \t\n\x0b\x0c\r"):
                 chunks.append(text)
             parts.clear()
 
@@ -452,12 +465,15 @@ def synthesize_pdfs(
     """``(doc_id, payload binary)`` — a deterministic minimal
     Flate-compressed PDF per document: each \\n-separated line of the
     source text becomes an escaped literal string + ``Tj``, lines
-    separated by ``T*``. The template is INVERTIBLE — extraction must
-    return exactly the original text modulo the documented edge
-    normalization (python ``.strip("\\n")`` of the block + the
-    all-whitespace-block drop), which is what the driver-gate oracle
-    reconstructs in SQL. Escaping here (\\\\, \\(, \\)) and
-    _pdf_literal's unescaping cancel."""
+    separated by ``T*``. The template is INVERTIBLE for ANY Unicode
+    text (UTF-8 literal-string bytes here, UTF-8-first decode in
+    ``_pdf_literal`` — round 3 was latin-1-with-replacement, which
+    silently degraded >U+00FF corpora) — extraction returns exactly
+    the original text modulo the documented edge normalization
+    (``.strip("\\n")`` of the block + the ASCII-whitespace-only block
+    drop), which is what the driver-gate oracle reconstructs in SQL.
+    Escaping here (\\\\, \\(, \\)) and _pdf_literal's unescaping
+    cancel."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -471,7 +487,7 @@ def synthesize_pdfs(
             for l in lines
         ]
         ops = "BT " + " T* ".join(f"({e}) Tj" for e in esc) + " ET"
-        body = zlib.compress(ops.encode("latin-1", "replace"))
+        body = zlib.compress(ops.encode("utf-8"))
         return (
             b"%PDF-1.4\n"
             b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
