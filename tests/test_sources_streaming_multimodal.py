@@ -301,6 +301,100 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
     assert all(r["est_jaccard"] >= 0.5 for r in rows2)
 
 
+def test_streaming_near_dup_recency_eviction(spark, tmp_path):
+    """Round-3 VERDICT stretch: a FULL bucket with first-come-forever
+    state goes blind to duplicates of anything admitted later; the
+    recency ring keeps catching them. Construction: find a chimera
+    triple (A, B, C) where C shares its band-1 bucket with A and its
+    band-2 bucket with B but equals neither signature. Batch 1 fills
+    both of C's buckets (cap=1) with A and B; C arrives (silent, est
+    < 1 against both) and — under recency — rotates A/B out; several
+    batches later an exact duplicate of C arrives and is caught ONLY
+    because C was admitted over the full bucket. admit-first mode is
+    asserted provably silent on the same stream."""
+    from textalyzer_spark.operators.dedup import minhash_signatures
+    from textalyzer_spark.streaming.jobs import (
+        run_to_completion_foreach,
+        streaming_near_dup,
+    )
+
+    base = (
+        "orange apple cherry walnut pecan almond plum grape melon "
+        "fig date kiwi mango papaya guava lime lemon peach pear cedar"
+    ).split()
+    # single-token substitutions of one base: most of the 8 minhashes
+    # survive each edit, so per-band collisions between DIFFERENT
+    # signatures are plentiful (2000+ triples in this pool)
+    pool = [("base", " ".join(base))]
+    for i in range(len(base)):
+        for sub in ("zz", "qq", "ww"):
+            toks = list(base)
+            toks[i] = sub + str(i)
+            pool.append((f"v{i}{sub}", " ".join(toks)))
+    sigs = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(
+            spark.createDataFrame(pool, "doc_id string, text string"),
+            k=3, num_hashes=8,
+        ).collect()
+    }
+    b1 = {d: s[:4] for d, s in sigs.items()}
+    b2 = {d: s[4:] for d, s in sigs.items()}
+    triple = None
+    for c in sigs:
+        for a in sigs:
+            if sigs[a] == sigs[c] or b1[a] != b1[c] or b2[a] == b2[c]:
+                continue
+            for b in sigs:
+                if (
+                    sigs[b] != sigs[c]
+                    and b2[b] == b2[c]
+                    and b1[b] != b1[c]
+                    and b1[b] != b1[a]
+                    and b2[b] != b2[a]
+                ):
+                    triple = (a, b, c)
+                    break
+            if triple:
+                break
+        if triple:
+            break
+    assert triple, "no chimera triple in the deterministic pool"
+    a_id, b_id, c_id = triple
+    texts = dict(pool)
+
+    def batch(rows):
+        spark.createDataFrame(rows, "doc_id string, text string").write.mode(
+            "append"
+        ).parquet(inp)
+
+    for mode, caught in (("recency", True), ("admit-first", False)):
+        inp = str(tmp_path / f"in_{mode}")
+        ckpt = str(tmp_path / f"ck_{mode}")
+        kw = dict(
+            k=3, num_hashes=8, bands=2, min_est_jaccard=1.0,
+            max_bucket_state=1, eviction=mode,
+        )
+        batch([("A", texts[a_id]), ("B", texts[b_id])])
+        r1 = run_to_completion_foreach(
+            streaming_near_dup(spark, inp, **kw), ckpt
+        )
+        assert r1 == []
+        batch([("C", texts[c_id])])  # full buckets; est<1 vs A and B
+        r2 = run_to_completion_foreach(
+            streaming_near_dup(spark, inp, **kw), ckpt
+        )
+        assert r2 == []
+        batch([("U", "completely unrelated filler body of words here")])
+        run_to_completion_foreach(streaming_near_dup(spark, inp, **kw), ckpt)
+        batch([("C2", texts[c_id])])  # late exact dup of the RECENT doc
+        r4 = run_to_completion_foreach(
+            streaming_near_dup(spark, inp, **kw), ckpt
+        )
+        got = {(r["doc_id"], r["dup_of"]) for r in r4}
+        assert got == ({("C2", "C")} if caught else set()), (mode, got)
+
+
 def test_resize_ppm_real_and_stub(spark):
     """image/ppm resizes for REAL (nearest-neighbor numpy, valid P6
     out); codec formats stub honestly (raise) or pass through under

@@ -94,6 +94,7 @@ def streaming_near_dup(
     bands: int = 8,
     min_est_jaccard: float = 0.5,
     max_bucket_state: int = 1000,
+    eviction: str = "recency",
 ) -> DataFrame:
     """Custom stateful streaming operator: cross-batch NEAR-duplicate
     detection — the streaming twin of ``minhash_lsh_pairs``.
@@ -110,11 +111,23 @@ def streaming_near_dup(
     unique row is needed.
 
     ``max_bucket_state`` caps per-bucket state (the streaming form of
-    the batch operator's mega-bucket guard): once a bucket holds that
-    many signatures, new arrivals still match against them but are no
-    longer added — unbounded state is how streaming dedup dies at
-    10^12 docs.
+    the batch operator's mega-bucket guard) — unbounded state is how
+    streaming dedup dies at 10^12 docs. ``eviction`` picks what a
+    FULL bucket does with new arrivals:
+
+    * ``"recency"`` (default): the bucket is a recency ring — a new
+      signature is admitted and the OLDEST is evicted, so a
+      long-running stream keeps detecting duplicates of recent
+      documents forever (first-come-forever state goes blind to
+      everything after the first ``max_bucket_state`` arrivals —
+      round-3 VERDICT stretch item).
+    * ``"admit-first"``: round-3 behavior — new arrivals in a full
+      bucket still match against the stored signatures but are never
+      added; keeps the earliest documents canonical at the price of
+      missing dups among later arrivals.
     """
+    if eviction not in ("recency", "admit-first"):
+        raise ValueError(f"unknown eviction {eviction!r}")
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -171,22 +184,37 @@ def streaming_near_dup(
             )
             ids_b = pdf["doc_id"].tolist()
             n_b, n_s = len(ids_b), len(known_ids)
-            n_admit = max(0, min(n_b, max_bucket_state - n_s))
+            n_admit = (
+                n_b
+                if eviction == "recency"
+                else max(0, min(n_b, max_bucket_state - n_s))
+            )
             chunk = 128  # bounds the (chunk x candidates x hashes) bools
             j_idx = np.arange(n_b)
+            k_idx = np.arange(n_s)
             for c0 in range(0, n_b, chunk):
                 sl = batch[c0 : c0 + chunk]
                 i_idx = np.arange(c0, c0 + len(sl))
                 ests = []
                 if n_s:
-                    ests.append(
-                        (known[None, :, :] == sl[:, None, :]).mean(axis=2)
-                    )
-                # in-batch: j visible to i iff j < i AND j was admitted
+                    es = (known[None, :, :] == sl[:, None, :]).mean(axis=2)
+                    if eviction == "recency":
+                        # doc i has admitted i in-batch predecessors,
+                        # ring-evicting the oldest state entries first:
+                        # state slot k survives iff k >= n_s+i-cap
+                        alive = k_idx[None, :] >= (
+                            n_s + i_idx[:, None] - max_bucket_state
+                        )
+                        es = np.where(alive, es, -1.0)
+                    ests.append(es)
+                # in-batch: j visible to i iff j < i AND j admitted
+                # AND (recency) j not yet ring-evicted: n_s+j >= n_s+i-cap
                 eb = (batch[None, :, :] == sl[:, None, :]).mean(axis=2)
                 vis = (j_idx[None, :] < i_idx[:, None]) & (
                     j_idx[None, :] < n_admit
                 )
+                if eviction == "recency":
+                    vis &= j_idx[None, :] >= (i_idx[:, None] - max_bucket_state)
                 ests.append(np.where(vis, eb, -1.0))
                 allest = np.concatenate(ests, axis=1)
                 best = allest.argmax(axis=1)
@@ -201,6 +229,9 @@ def streaming_near_dup(
             if n_admit:
                 known_ids.extend(ids_b[:n_admit])
                 known = np.vstack([known, batch[:n_admit]])
+                if eviction == "recency" and len(known_ids) > max_bucket_state:
+                    known_ids = known_ids[-max_bucket_state:]
+                    known = known[-max_bucket_state:]
         state.update((known_ids, [int(x) for x in known.ravel()]))
         if out_doc:
             yield pd.DataFrame(
