@@ -116,6 +116,19 @@ def test_lower_divergents_match_duckdb_and_python(spark):
     )
 
 
+def test_ascii_fast_path_is_exact():
+    """tokenize's ASCII fast path assumes IsAlphabetic ∩ ASCII ==
+    [A-Za-z]; pin that against the stored table."""
+    ascii_alpha = {
+        cp
+        for a, b in ALPHA_RANGES
+        for cp in range(a, min(b, 0x7F) + 1)
+        if cp < 0x80
+    }
+    expected = set(range(0x41, 0x5B)) | set(range(0x61, 0x7B))
+    assert ascii_alpha == expected
+
+
 def test_python_tokenizer_class_equals_jvm_class(spark):
     """The Arrow-UDF tokenizer splits with the SAME class as the JVM
     path: membership parity on every stored boundary + a token-level
