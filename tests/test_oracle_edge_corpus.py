@@ -231,6 +231,74 @@ def test_multiscript_gate_mirror(spark, multiscript_sf_dir, name):
     _compare(spark, multiscript_sf_dir, name)
 
 
+def _fuzz_docs(n_docs: int = 60, seed: int = 20260817):
+    """Deterministic randomized corpus drawn from the VERIFIED range:
+    single-script tokens (Greek incl. Σ/ς/ypogegrammeni, Cyrillic,
+    CJK, Latin+accents) joined by random separators — the documented
+    exclusions (divergent-lower cps, mixed-script sigma contexts) are
+    avoided by construction, everything else is fair game."""
+    import random
+
+    rng = random.Random(seed)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "àâäéèêëîïôöùûüçÀÉÈÊÖÜßñÑåÅøØ",
+        "αβγδεζηθικλμνξοπρστυφχψωςΣΑΒΓΔΕΖΗΘΙΚΛΜΝΞΟΠΡΤΥΦΧΨῼΆΈΉΊΌΎΏάέήίόύώ",
+        "абвгдежзийклмнопрстуфхцчшщъыьэюяАБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЫЭЮЯЁё",
+        "中文字例子测试分析文档数据引擎大规模处理日本語形態素解析",
+    ]
+    seps = [" ", "  ", ", ", ". ", "\n", " 12 ", "—", "·", "'", "; "]
+    docs = []
+    for d in range(n_docs):
+        parts = []
+        for _ in range(rng.randint(3, 12)):
+            pool = rng.choice(pools)
+            parts.append(
+                "".join(rng.choice(pool) for _ in range(rng.randint(1, 9)))
+            )
+            parts.append(rng.choice(seps))
+        docs.append((d, "".join(parts)))
+    return docs
+
+
+def test_fuzzed_multiscript_tokenization_parity(spark, tmp_path):
+    """Randomized (deterministic-seed) corpus from the verified range:
+    the JVM tokenizer, the Python/Arrow tokenizer, and the DuckDB
+    oracle must produce the SAME word histogram — covering sigma
+    placements, combining ypogegrammeni, titlecase accents, and
+    separators no fixed fixture enumerates."""
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.functions.tokenize import tokenize_text, tokens_col
+
+    docs = _fuzz_docs()
+    d = tmp_path / "fuzz_sf"
+    spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+
+    # engine JVM path vs oracle via the registered gate query
+    rows = _compare(spark, str(d), "word_frequency")
+    hist_oracle = {w: c for c, w in rows}
+
+    # python path must agree with the JVM path token-for-token
+    from collections import Counter
+
+    py_hist = Counter()
+    for _, text in docs:
+        py_hist.update(tokenize_text(text))
+    assert dict(py_hist) == hist_oracle
+
+    jvm = (
+        spark.createDataFrame(docs, "doc_id bigint, text string")
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    assert {r["w"]: r["count"] for r in jvm} == hist_oracle
+
+
 def test_multiscript_word_frequency_values(spark, multiscript_sf_dir):
     """Spot-check actual token values, not just cross-engine equality:
     final sigma, Cyrillic casefold, and CJK runs all land."""
