@@ -51,3 +51,42 @@ def test_winnow_shared_substring_guarantee(spark):
 def test_winnow_short_doc_empty(spark):
     df = spark.createDataFrame([("tiny", "abc")], "doc_id string, text string")
     assert winnow_fingerprints(df).count() == 0
+
+
+def test_kgram_batch_kernel_matches_reference():
+    """The batch-flat int64 Mersenne kernel must produce EXACTLY the
+    reference per-character rolling hash on randomized multiscript
+    strings (including doc-boundary adjacency, empty/short docs, and
+    max-codepoint chars) — the hash values feed the oracle-mirrored
+    fingerprint join, so a single ulp of drift breaks the gate."""
+    import random
+
+    from textalyzer_spark.operators.tokens import (
+        _kgram_hashes_batch,
+        rolling_kgram_hashes,
+    )
+
+    rng = random.Random(99)
+    texts = ["", "short", "exactly8", "x" * 7, "\U0010ffff" * 9,
+             "Ο Οδυσσεύς ΜΕΓΑΣ κείμενο"]
+    for _ in range(50):
+        n = rng.randint(0, 300)
+        texts.append(
+            "".join(
+                chr(
+                    rng.choice(
+                        [
+                            rng.randint(32, 126),
+                            rng.randint(0x370, 0x3FF),
+                            rng.randint(0x4E00, 0x4F00),
+                            rng.randint(0x10000, 0x10200),
+                        ]
+                    )
+                )
+                for _ in range(n)
+            )
+        )
+    for t, arr in zip(texts, _kgram_hashes_batch(texts, 8)):
+        ref = rolling_kgram_hashes(t, 8)
+        got = [] if arr is None else [int(x) for x in arr]
+        assert got == ref, (len(t), got[:3], ref[:3])
