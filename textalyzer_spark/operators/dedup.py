@@ -190,6 +190,49 @@ def minhash_signatures(
     return df.mapInPandas(run, f"doc_id {id_type}, signature array<bigint>")
 
 
+def _md5_le8_col(c) -> "F.Column":
+    """JVM column: ``int.from_bytes(md5(s).digest()[:8], "little")``
+    — the engine's cross-engine base hash (== DuckDB
+    ``md5_number_upper``), computed INSIDE whole-stage codegen: the
+    first 8 digest bytes are the first 16 hex chars of ``md5()``,
+    byte-reversed, then ``conv(_, 16, 10)`` (unsigned 64-bit) read
+    exactly via decimal(20,0)."""
+    h = F.md5(c)
+    le = F.concat(*[F.substring(h, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)])
+    return F.conv(le, 16, 10).cast("decimal(20,0)")
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    """``(doc_id, signature array<bigint>)`` from a DISTINCT
+    ``(doc_id, shingle)`` table, entirely JVM-side: base = md5-LE8
+    mod p (codegen), then ``num_hashes`` affine mins as one groupBy
+    with ``num_hashes`` MIN aggregates — partial (map-side) aggregation
+    means the shuffle carries one row per (partition, doc), not per
+    shingle. Identical values to :func:`minhash_signatures` (same
+    base hash, same affine params, min over the same distinct-shingle
+    set) — but when the shingle table is ALSO needed for exact verify
+    (minhash_lsh_pairs), this path reuses it instead of re-running
+    the whole tokenize+shingle pass in python."""
+    av, bv = _hash_params(num_hashes, seed)
+    x = F.pmod(_md5_le8_col(F.col("shingle")), F.lit(_P)).cast("bigint")
+    based = sh.select("doc_id", x.alias("x"))
+    # x < 2^31 and a < 2^31, so a*x + b < 2^62 — exact in ANSI bigint
+    aggs = [
+        F.min((F.col("x") * F.lit(av[i]) + F.lit(bv[i])) % F.lit(_P)).alias(
+            f"_s{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return based.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 3,
@@ -222,7 +265,13 @@ def minhash_lsh_pairs(
     unguarded recall.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, k, num_hashes, seed, id_col, text_col)
+    # ONE tokenize+shingle pass over the corpus: the distinct-shingle
+    # table feeds BOTH the signatures (JVM md5 + affine-min groupBy)
+    # and the exact-verify joins below. The previous shape ran the
+    # python minhash stage AND the shingle materialization — two full
+    # passes over every byte of the corpus.
+    sh = _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
+    sigs = _signatures_from_shingles(sh, num_hashes, seed)
     # bucket key = the band's signature values joined as a string —
     # NOT re-hashed (xxhash64 has no cross-engine twin, and the key is
     # bounded at rows x ~10 digits, so the shuffle-width win of an
@@ -269,9 +318,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification of candidates only (shingles materialized:
-    # sizes + both verify-join sides would re-tokenize otherwise)
-    sh = _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
+    # exact verification of candidates only, reusing the materialized
+    # shingle table from the top of the pipeline
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
