@@ -90,6 +90,16 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_docs(spark, sf_dir))
 
 
+def q_lexical_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level lexical complexity (north_star "lexical-complexity
+    counts"): total + exact-distinct token counts over the whole
+    corpus. The exact=True path is the oracle-able twin; exact=False
+    switches to HyperLogLog at 10^12 docs (approx_count_distinct)."""
+    from textalyzer_spark.operators.readability import corpus_lexical_stats
+
+    return corpus_lexical_stats(_docs(spark, sf_dir), exact=True)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token statistics (training-data quality signals)."""
     from textalyzer_spark.operators.quality import token_stats
@@ -422,6 +432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_display_width": q_line_display_width,
     "shingle_dup": q_shingle_dup,
     "readability": q_readability,
+    "lexical_complexity": q_lexical_complexity,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -708,6 +719,17 @@ def oracle_sql() -> dict[str, str]:
               stopword_ratio,
               alpha_ratio
             FROM s
+        """,
+        "lexical_complexity": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+            FROM (
+              SELECT {_a.tok_lower_sql('rw')} AS w
+              FROM (
+                SELECT unnest(regexp_extract_all(text, '{_rx}')) AS rw
+                FROM documents
+              )
+            )
         """,
         "lang_id": f"""
             WITH t AS (

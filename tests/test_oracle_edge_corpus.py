@@ -203,7 +203,8 @@ MULTISCRIPT_DOCS = [
 # plus the line/byte ops (script-independent but cheap to pin here)
 MULTISCRIPT_QUERIES = [
     "word_frequency", "span_word_frequency", "shingle_dup",
-    "readability", "token_stats", "quality_score", "lang_id",
+    "readability", "lexical_complexity", "token_stats",
+    "quality_score", "lang_id",
     "ngram_jaccard", "minhash_lsh", "simhash_pairs", "winnow_pairs",
     "fingerprint", "exact_dedup", "char_frequency", "token_counts",
     "duplicate_lines", "line_length", "line_display_width",
