@@ -75,6 +75,7 @@ def main() -> None:
         "embedding_near_dup",
         "embedding_near_dup_lsh",
         "ivf_cosine_topk",
+        "lexical_complexity",
         "token_counts",
         "winnow_pairs",
         "html_main_content",
