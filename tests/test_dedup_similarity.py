@@ -352,3 +352,26 @@ def test_cosine_topk_query_collect_guard(spark):
         sim.cosine_topk(df, q, k=2, max_queries=5)
     # under the bound the same call succeeds
     assert sim.cosine_topk(df, q.limit(3), k=2, max_queries=5).count() == 6
+
+
+def test_cosine_topk_query_byte_bound(spark):
+    """The driver-collect guard is a BYTES budget, not a row count:
+    few rows of very wide vectors must trip it just like many rows of
+    narrow ones (100k x dim-512 is ~400 MB — a row-only cap admitted
+    it)."""
+    import pytest
+
+    import textalyzer_spark.operators.similarity as sim
+
+    # high-dim, tiny row count: 4 rows x dim 64 = 256 cells > 100
+    wide = [(i, [float(i + j) for j in range(64)]) for i in range(4)]
+    dfw = spark.createDataFrame(wide, "vec_id bigint, embedding array<double>")
+    qw = dfw.withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError, match="cells"):
+        sim.cosine_topk(dfw, qw, k=2, max_queries=100, max_query_cells=100)
+    # low-dim, more rows: 8 rows x dim 4 = 32 cells — same budget passes
+    narrow = [(i, [float(i + j) for j in range(4)]) for i in range(8)]
+    dfn = spark.createDataFrame(narrow, "vec_id bigint, embedding array<double>")
+    qn = dfn.withColumnRenamed("vec_id", "query_id")
+    out = sim.cosine_topk(dfn, qn, k=2, max_queries=100, max_query_cells=100)
+    assert out.count() == 16

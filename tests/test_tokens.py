@@ -90,3 +90,28 @@ def test_kgram_batch_kernel_matches_reference():
         ref = rolling_kgram_hashes(t, 8)
         got = [] if arr is None else [int(x) for x in arr]
         assert got == ref, (len(t), got[:3], ref[:3])
+
+
+def test_kgram_batch_kernel_large_k():
+    """k > 8 is valid (the winnowing literature commonly uses k=10-25
+    character grams): the fold-every-3-terms cadence bounds the
+    accumulator for ANY k, so the batch kernel must match the rolling
+    reference beyond the old k<=8 assert."""
+    import random
+
+    from textalyzer_spark.operators.tokens import (
+        _kgram_hashes_batch,
+        rolling_kgram_hashes,
+    )
+
+    rng = random.Random(7)
+    texts = ["", "tiny", "\U0010ffff" * 30]
+    texts += [
+        "".join(chr(rng.randint(32, 0x2FFF)) for _ in range(rng.randint(0, 120)))
+        for _ in range(20)
+    ]
+    for k in (10, 17, 25):
+        for t, arr in zip(texts, _kgram_hashes_batch(texts, k)):
+            ref = rolling_kgram_hashes(t, k)
+            got = [] if arr is None else [int(x) for x in arr]
+            assert got == ref, (k, len(t))

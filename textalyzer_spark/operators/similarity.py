@@ -92,6 +92,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 100_000,
+    max_query_cells: int = 8_000_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query:
     ``(query_id, vec_id, cosine, rank)``; ``cosine`` rounded to 4
@@ -101,10 +102,14 @@ def cosine_topk(
 
     The corpus never shuffles: the query matrix is collected to the
     driver (bounded — an ANN query set is small by definition, n_q x
-    dim doubles, and ``max_queries`` ENFORCES the bound: the collect
-    fetches at most max_queries + 1 rows and raises with guidance
-    toward :func:`lsh_cosine_topk` / a broadcast-join formulation
-    before an oversized "query" table can OOM the driver) and shipped
+    dim doubles, and the bound is ENFORCED in BYTES, not rows: the
+    vector dimension is probed first and the row cap is
+    ``min(max_queries, max_query_cells // dim)`` — 100k rows of dim-512
+    vectors is ~400 MB of driver matrix, which a row-only cap would
+    have admitted. The collect fetches at most cap + 1 rows and raises
+    with guidance toward :func:`lsh_cosine_topk` / a broadcast-join
+    formulation before an oversized "query" table can OOM the driver)
+    and shipped
     in the task closure, each corpus partition scores its rows with
     ONE (batch x dim) @ (dim x n_q) numpy matmul per Arrow batch and
     reduces to a local top-k, so the only exchange is n_partitions x
@@ -120,20 +125,26 @@ def cosine_topk(
 
     q_type = dict(queries.dtypes)[query_id_col]
     id_type = dict(vectors.dtypes)[id_col]
+    probe = queries.select(F.size(vec_col).alias("dim")).first()
+    dim = int(probe["dim"]) if probe is not None else 0
+    cap = max_queries if dim <= 0 else min(max_queries, max_query_cells // dim)
     q_rows = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("q_vec"),
         )
-        .limit(max_queries + 1)
+        .limit(cap + 1)
         .collect()
     )
-    if len(q_rows) > max_queries:
+    if len(q_rows) > cap:
         raise ValueError(
             f"cosine_topk collects the query set to the driver; got "
-            f"> {max_queries} query rows. For large query sets use "
-            "lsh_cosine_topk (bucketed equi-join) or raise max_queries "
-            "explicitly if the driver can hold the query matrix."
+            f"> {cap} query rows at dim {dim} (caps: {max_queries} rows, "
+            f"{max_query_cells} total cells ~ "
+            f"{max_query_cells * 8 // 2**20} MB of float64). For large "
+            "query sets use lsh_cosine_topk (bucketed equi-join) or "
+            "raise max_queries/max_query_cells explicitly if the driver "
+            "can hold the query matrix."
         )
     schema = f"query_id {q_type}, vec_id {id_type}, cosine double"
     if not q_rows:

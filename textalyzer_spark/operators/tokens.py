@@ -86,7 +86,11 @@ def _kgram_hashes_batch(texts: list[str], k: int):
 
     M = _ROLL_M
     MASK21 = (1 << 21) - 1
-    assert k <= 8  # fold cadence below assumes <= 3 unfolded terms
+    # no upper bound on k: each folded term is < 2^61 + 2 and the
+    # j%3==2 cadence folds the accumulator back below 2^61 before a
+    # fourth term can join, so acc stays < 3*(2^61+2) < 2^63 for ANY k
+    # (the round-4 `assert k <= 8` was stricter than the math requires
+    # — character k-grams with k in the 10-25 winnowing range work)
 
     codes = [
         np.frombuffer(
