@@ -54,6 +54,49 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _quality_ctes(toks_expr: str) -> str:
+    """The quality_score oracle pipeline as a composable CTE chain
+    ending in ``qscore(doc_id, quality_score, n_tokens,
+    type_token_ratio, stopword_ratio, alpha_ratio)`` — shared by the
+    quality_score gate and the near_dup_keep_quality keep rule."""
+    from textalyzer_spark import oracles as _o
+
+    neg = _o.alpha_strip_regex()
+    return f"""qt AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     {toks_expr} AS toks,
+                     CAST(length(regexp_replace(text, '{neg}', '', 'g')) AS BIGINT)
+                       AS n_alpha_chars
+              FROM documents
+            ), qs AS (
+              SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                CASE WHEN len(toks) > 0
+                     THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END AS ttr,
+                CASE WHEN len(toks) > 0
+                     THEN round(CAST(len(list_filter(toks, w -> list_contains(
+                            ['the','a','an','and','or','of','to','in','is','it',
+                             'that','for','on','with','as','was','at','by','be'], w)))
+                          AS DOUBLE) / len(toks), 4) END AS stopword_ratio,
+                CASE WHEN n_chars > 0
+                     THEN round(n_alpha_chars / CAST(n_chars AS DOUBLE), 4) END AS alpha_ratio
+              FROM qt
+            ), qscore AS (
+              SELECT doc_id,
+                round(0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                    + 0.25 * (CASE WHEN coalesce(stopword_ratio, 0.0) >= 0.01 THEN 1.0 ELSE 0.0 END)
+                    + 0.25 * least(round(ttr, 4) * 2, 1.0)
+                    + 0.25 * coalesce(alpha_ratio, 0.0), 6) AS quality_score,
+                n_tokens,
+                round(ttr, 4) AS type_token_ratio,
+                stopword_ratio,
+                alpha_ratio
+              FROM qs
+            )"""
+
+
 # --------------------------------------------------------------------------
 # queries — each (spark, sf_dir) -> DataFrame
 # --------------------------------------------------------------------------
@@ -403,6 +446,36 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION end-to-end (the operator a 100 TB
+    dedup run terminates in): minhash+LSH pairs (same params as
+    q_minhash_lsh) -> connected components -> keep-min-id survivor,
+    one row per corpus document. DuckDB twin replays the exact pair
+    SQL then a recursive min-label walk (oracles.near_dup_groups_sql)
+    — the duplicate_blocks_resolved recursive-CTE technique applied
+    to the near-dup family."""
+    from textalyzer_spark.operators.near_dedup import near_dedup
+
+    return near_dedup(
+        _docs(spark, sf_dir), method="minhash",
+        k=5, num_hashes=32, bands=8, threshold=0.1,
+    )
+
+
+def q_near_dup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep rule over the same near-dup components:
+    the survivor is the highest-quality_score doc (tie -> min doc_id)
+    instead of min-id — the rule a real training-data dedup uses.
+    Oracle: same pair + component CTEs joined with the qscore chain
+    and an ARG_MAX-style two-step keep."""
+    from textalyzer_spark.operators.near_dedup import near_dedup
+
+    return near_dedup(
+        _docs(spark, sf_dir), method="minhash", keep="quality",
+        k=5, num_hashes=32, bands=8, threshold=0.1,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
     synthetic embeddings are near-uniform, max pairwise cosine ~0.51;
@@ -440,6 +513,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "near_dup_groups": q_near_dup_groups,
+    "near_dup_keep_quality": q_near_dup_keep_quality,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -466,6 +541,9 @@ def oracle_sql() -> dict[str, str]:
 
     generated = {
         "minhash_lsh": _o.minhash_lsh_sql(
+            k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+        ),
+        "near_dup_groups": _o.near_dup_groups_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),
         "simhash_pairs": _o.simhash_pairs_sql(max_hamming=6),
@@ -687,38 +765,31 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "quality_score": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     CAST(length(text) AS BIGINT) AS n_chars,
-                     {_toks} AS toks,
-                     CAST(length(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS BIGINT)
-                       AS n_alpha_chars
-              FROM documents
-            ), s AS (
-              SELECT doc_id,
-                CAST(len(toks) AS INTEGER) AS n_tokens,
-                CASE WHEN len(toks) > 0
-                     THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
-                     ELSE 0.0 END AS ttr,
-                CASE WHEN len(toks) > 0
-                     THEN round(CAST(len(list_filter(toks, w -> list_contains(
-                            ['the','a','an','and','or','of','to','in','is','it',
-                             'that','for','on','with','as','was','at','by','be'], w)))
-                          AS DOUBLE) / len(toks), 4) END AS stopword_ratio,
-                CASE WHEN n_chars > 0
-                     THEN round(n_alpha_chars / CAST(n_chars AS DOUBLE), 4) END AS alpha_ratio
-              FROM t
+            WITH {_quality_ctes(_toks)}
+            SELECT doc_id, quality_score, n_tokens, type_token_ratio,
+                   stopword_ratio, alpha_ratio
+            FROM qscore
+        """,
+        "near_dup_keep_quality": f"""
+            WITH RECURSIVE {_o.minhash_pairs_ctes(
+                k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+            )}, {_o.connected_components_ctes()}, {_quality_ctes(_toks)},
+            qmax AS (
+              SELECT component, max(quality_score) AS _qmax
+              FROM cc_labels JOIN qscore USING (doc_id)
+              GROUP BY component
+            ), keepid AS (
+              -- highest quality wins; tie -> minimal doc_id (the
+              -- engine's two-step agg rule, no per-component window)
+              SELECT component, min(doc_id) AS _keep
+              FROM cc_labels
+              JOIN qscore USING (doc_id)
+              JOIN qmax USING (component)
+              WHERE quality_score = _qmax
+              GROUP BY component
             )
-            SELECT doc_id,
-              round(0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
-                  + 0.25 * (CASE WHEN coalesce(stopword_ratio, 0.0) >= 0.01 THEN 1.0 ELSE 0.0 END)
-                  + 0.25 * least(round(ttr, 4) * 2, 1.0)
-                  + 0.25 * coalesce(alpha_ratio, 0.0), 6) AS quality_score,
-              n_tokens,
-              round(ttr, 4) AS type_token_ratio,
-              stopword_ratio,
-              alpha_ratio
-            FROM s
+            SELECT l.doc_id, l.component, l.doc_id = k._keep AS keep
+            FROM cc_labels l JOIN keepid k USING (component)
         """,
         "lexical_complexity": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_tokens,
@@ -832,8 +903,10 @@ def oracle_sql() -> dict[str, str]:
     }
     # n_alpha_chars strips non-letters from UNLOWERED text — swap the
     # generated negated class in (the tokenizing positions above are
-    # already interpolated via _toks)
+    # already interpolated via _toks; _quality_ctes substitutes its
+    # own copy)
     neg = _o.alpha_strip_regex()
-    for name in ("token_stats", "quality_score"):
-        inline[name] = inline[name].replace("'[^a-zA-Z]+'", f"'{neg}'")
+    inline["token_stats"] = inline["token_stats"].replace(
+        "'[^a-zA-Z]+'", f"'{neg}'"
+    )
     return generated | inline

@@ -1,0 +1,96 @@
+"""near_dedup: pairs -> connected components -> one kept survivor."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.near_dedup import near_dedup
+
+
+def _planted_corpus(spark):
+    """Three planted near-dup clusters + two singletons.
+
+    Cluster A (1,2,3) is a CHAIN: 1~2 and 2~3 share 4 of 5 tokens but
+    1 and 3 share only 3 of 5 — transitivity must come from the
+    component step, not from any single pair.
+    """
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one"),
+        (2, base + " one two"),
+        (3, base + " two"),
+        (10, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+        (11, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (20, "the quick brown fox jumps over the lazy dog tonight"),
+        (21, "the quick brown fox jumps over the lazy dog today"),
+        (30, "completely unrelated text about weather patterns in norway"),
+        (31, "another standalone document mentioning submarine cables"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_near_dedup_components_and_min_id_keep(spark):
+    df = _planted_corpus(spark)
+    out = near_dedup(df, method="jaccard", k=3, threshold=0.3).collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    assert len(out) == 9  # every doc labeled, singletons included
+    # chain cluster collapses transitively to min id 1
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+    assert comp[30] == 30 and comp[31] == 31
+    assert kept == {1, 10, 20, 30, 31}
+
+
+def test_near_dedup_quality_keep(spark):
+    df = _planted_corpus(spark)
+    # planted quality: doc 2 best in its cluster; tie between 20/21
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.8),
+         (20, 0.6), (21, 0.6), (30, 0.1), (31, 0.2)],
+        "doc_id bigint, quality_score double",
+    )
+    out = near_dedup(
+        df, method="jaccard", keep="quality", quality=quality,
+        k=3, threshold=0.3,
+    ).collect()
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    # highest quality wins; the 20/21 tie falls to min doc_id
+    assert kept == {2, 11, 20, 30, 31}
+    # exactly one survivor per component
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r["keep"])
+    assert all(sum(v) == 1 for v in by_comp.values())
+
+
+def test_near_dedup_explicit_pairs_and_distributed_fallback(spark):
+    df = _planted_corpus(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21)], "doc_a bigint, doc_b bigint"
+    )
+    a = near_dedup(df, pairs=pairs).orderBy("doc_id").collect()
+    # driver_max_edges=0 forces the distributed min-label path:
+    # labels must be identical to the union-find path
+    b = near_dedup(df, pairs=pairs, driver_max_edges=0).orderBy(
+        "doc_id"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    comp = {r["doc_id"]: r["component"] for r in a}
+    assert comp[3] == 1 and comp[21] == 20 and comp[30] == 30
+
+
+def test_near_dedup_quality_computed_from_corpus(spark):
+    """keep='quality' without a precomputed table computes
+    quality_score from the corpus itself and still keeps exactly one
+    doc per component."""
+    df = _planted_corpus(spark)
+    out = near_dedup(df, method="jaccard", keep="quality", k=3,
+                     threshold=0.3)
+    rows = out.collect()
+    assert len(rows) == 9
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r["keep"])
+    assert all(sum(v) == 1 for v in by_comp.values())

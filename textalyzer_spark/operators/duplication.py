@@ -414,17 +414,11 @@ def _doc_components(
     per-component resolution is parity-identical to the global
     sequential pass, but runs one task per component.
 
-    Two strategies, same labels (component = min doc_id):
+    The graph machinery (bounded driver union-find + distributed
+    min-label fallback) lives in :mod:`.graph` and is shared with the
+    near-dup cluster resolution operator."""
+    from textalyzer_spark.operators.graph import connected_components
 
-    * edge count <= ``driver_max_edges`` (the common case — the
-      candidate graph is orders of magnitude smaller than the corpus;
-      1M edges is a few MB): collect the edges once and run
-      union-find on the driver. One job instead of ~2 jobs x
-      log(diameter) Pregel rounds — the Pregel loop's per-iteration
-      driver actions dominated duplicate_blocks wall time on every
-      corpus measured.
-    * larger graphs: Pregel-lite min-label propagation (driver loop,
-      ~log(diameter) rounds; candidate graphs are shallow)."""
     docs = (
         cands.select(F.explode("locations").alias("l"))
         .select(F.col("l.doc_id").alias("doc_id"))
@@ -436,66 +430,8 @@ def _doc_components(
             F.explode("locations").alias("l"),
         )
         .select("src", F.col("l.doc_id").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    # every loop iteration fires an action: without materializing the
-    # edge set first, the full upstream candidate pipeline re-executes
-    # per iteration (measured: minutes instead of seconds at sf0.1)
-    edges = edges.localCheckpoint()
-    docs = docs.localCheckpoint()
-
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in edges.collect():
-            ra, rb = find(r["src"]), find(r["dst"])
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        rows = [(d["doc_id"], find(d["doc_id"])) for d in docs.collect()]
-        spark = cands.sparkSession
-        id_field = docs.schema["doc_id"]
-        out_schema = (
-            f"doc_id {id_field.dataType.simpleString()}, "
-            f"component {id_field.dataType.simpleString()}"
-        )
-        return spark.createDataFrame(rows, out_schema)
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(max_iters):
-        msgs = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .select(F.col("dst").alias("doc_id"), "component")
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-        labels = labels.localCheckpoint()  # cut the iterative lineage
-    return labels
+    return connected_components(edges, docs, max_iters, driver_max_edges)
 
 
 def _resolve_overlaps(pdf: pd.DataFrame) -> pd.DataFrame:

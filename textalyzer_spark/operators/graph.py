@@ -1,0 +1,106 @@
+"""Distributed connected components over document-pair graphs.
+
+Shared by the duplication resolution stage (duplication.py) and the
+near-duplicate cluster resolution operator (near_dedup.py) — the
+corpus-scale lift of the reference's group-then-greedy-keep chain
+(textalyzer/src/duplication.rs:104-121,298-336), where "the same
+block/content" generalizes to "connected by any near-dup pair edge".
+
+Scale design: candidate/pair graphs are orders of magnitude smaller
+than the corpus (only docs that matched anything appear), so the
+common case collects the edge list once and runs driver union-find —
+one job instead of ~2 jobs x log(diameter) Pregel rounds. Graphs over
+``driver_max_edges`` fall back to distributed min-label propagation
+(a Pregel-lite loop; near-dup graphs are shallow, so it converges in
+a few rounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    docs: DataFrame,
+    max_iters: int = 12,
+    driver_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """``(doc_id, component)`` labels for every row of ``docs``, where
+    component = the minimum doc_id in the node's connected component
+    (singletons label themselves).
+
+    ``edges`` must have columns ``(src, dst)``; it is symmetrized and
+    de-duplicated here, so callers may pass directed pair lists.
+    ``docs`` must have a single ``doc_id`` column (distinct).
+
+    Two strategies, same labels:
+
+    * edge count <= ``driver_max_edges`` (the common case — a few MB
+      of driver memory at the cap): collect the edges once, union-find
+      with path compression on the driver, broadcast the labels back
+      as a DataFrame. One job.
+    * larger graphs: min-label propagation (driver loop of ~
+      log(diameter) join+agg rounds, lineage cut per round)."""
+    edges = (
+        edges.select(F.col("src"), F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # every strategy below fires >= 1 action: without materializing
+    # first, the full upstream pair pipeline re-executes per action
+    # (measured: minutes instead of seconds at sf0.1)
+    edges = edges.localCheckpoint()
+    docs = docs.localCheckpoint()
+
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(d["doc_id"], find(d["doc_id"])) for d in docs.collect()]
+        spark = docs.sparkSession
+        id_field = docs.schema["doc_id"]
+        out_schema = (
+            f"doc_id {id_field.dataType.simpleString()}, "
+            f"component {id_field.dataType.simpleString()}"
+        )
+        return spark.createDataFrame(rows, out_schema)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint()  # cut the iterative lineage
+    return labels

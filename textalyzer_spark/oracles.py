@@ -80,7 +80,7 @@ def word_frequency_sql() -> str:
 # --------------------------------------------------------------------------
 
 
-def minhash_lsh_sql(
+def minhash_pairs_ctes(
     k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
@@ -88,9 +88,10 @@ def minhash_lsh_sql(
     seed: int = 42,
     max_bucket_docs: int = 1000,
 ) -> str:
-    """Value-exact twin of ``minhash_lsh_pairs``: same affine params,
-    same signatures, same band buckets (including the mega-bucket
-    guard), same exact-Jaccard verify."""
+    """The :func:`minhash_lsh_sql` pipeline as a composable CTE chain
+    (no leading ``WITH``), terminating in ``mh_pairs(doc_a, doc_b,
+    jaccard)`` — reused by the near-dup cluster-resolution oracles,
+    which chain connected components on top of the SAME pair SQL."""
     from textalyzer_spark.operators.dedup import _P, _hash_params
 
     av, bv = _hash_params(num_hashes, seed)
@@ -103,8 +104,7 @@ def minhash_lsh_sql(
 
     rx = alpha_token_regex()
     toks_expr = toks_lower_sql(f"regexp_extract_all(text, '{rx}')")
-    return f"""
-        WITH rawt AS (
+    return f"""rawt AS (
           SELECT doc_id, {toks_expr} AS tl FROM documents
         ), toks AS (
           SELECT doc_id, unnest(tl) AS w,
@@ -149,15 +149,84 @@ def minhash_lsh_sql(
           JOIN shn a ON a.doc_id = c.doc_a
           JOIN shn b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
           GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
-                 AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
-              >= {threshold}
+        ), mh_pairs AS (
+          SELECT doc_a, doc_b,
+                 round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+                >= {threshold}
+        )"""
+
+
+def minhash_lsh_sql(
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    seed: int = 42,
+    max_bucket_docs: int = 1000,
+) -> str:
+    """Value-exact twin of ``minhash_lsh_pairs``: same affine params,
+    same signatures, same band buckets (including the mega-bucket
+    guard), same exact-Jaccard verify."""
+    ctes = minhash_pairs_ctes(
+        k, num_hashes, bands, threshold, seed, max_bucket_docs
+    )
+    return f"""
+        WITH {ctes}
+        SELECT doc_a, doc_b, jaccard FROM mh_pairs
+    """
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster resolution (operators/near_dedup.py: near_dedup)
+# --------------------------------------------------------------------------
+
+
+def connected_components_ctes(pairs_cte: str = "mh_pairs") -> str:
+    """Recursive connected-components CTE chain (compose under ``WITH
+    RECURSIVE``): min-label walk over the symmetrized ``{pairs_cte}``
+    edges, seeded with every document — terminates because a label
+    only propagates to strictly larger doc_ids and the recursive UNION
+    de-duplicates states. Ends in ``cc_labels(doc_id, component)``
+    covering ALL documents (singletons label themselves), the same
+    labels as graph.connected_components (component = min doc_id)."""
+    return f"""edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
+          UNION
+          SELECT doc_b, doc_a FROM {pairs_cte}
+        ), walk AS (
+          SELECT doc_id, doc_id AS label FROM documents
+          UNION
+          SELECT DISTINCT e.dst AS doc_id, walk.label
+          FROM walk JOIN edges e ON e.src = walk.doc_id
+          WHERE walk.label < e.dst
+        ), cc_labels AS (
+          SELECT doc_id, min(label) AS component FROM walk GROUP BY doc_id
+        )"""
+
+
+def near_dup_groups_sql(
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    seed: int = 42,
+    max_bucket_docs: int = 1000,
+) -> str:
+    """Twin of ``near_dedup(df, method="minhash", keep="min_id")``:
+    the exact minhash pair SQL, then recursive connected components,
+    then the keep-min-id rule (keep iff doc_id == component)."""
+    pairs = minhash_pairs_ctes(
+        k, num_hashes, bands, threshold, seed, max_bucket_docs
+    )
+    return f"""
+        WITH RECURSIVE {pairs}, {connected_components_ctes()}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
     """
 
 
