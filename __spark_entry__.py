@@ -476,6 +476,49 @@ def q_near_dup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_batches(spark: SparkSession, sf_dir: str):
+    """The incremental-dedup gate fixture: the corpus split into a
+    prior snapshot (even doc_ids — the catalog source) and a new
+    batch (odd doc_ids)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot EXACT dedup: the odd-id batch anti-joined
+    against the even-id snapshot's fingerprint catalog, deduped
+    within-batch to min doc_id — the 100 TB new-crawl-vs-catalog
+    workflow under the driver gate."""
+    from textalyzer_spark.operators.incremental import (
+        exact_catalog,
+        incremental_exact_dedup,
+    )
+
+    old, new = _split_batches(spark, sf_dir)
+    return incremental_exact_dedup(new, exact_catalog(old))
+
+
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR dedup: the odd-id batch's minhash
+    signatures band-joined against the even-id snapshot's signature
+    catalog (bit-identical signatures to q_minhash_lsh), similarity
+    from the MinHash agreement estimator — the catalog stores
+    num_hashes ints per doc, never shingles."""
+    from textalyzer_spark.operators.incremental import (
+        incremental_minhash_pairs,
+        minhash_catalog,
+    )
+
+    old, new = _split_batches(spark, sf_dir)
+    cat = minhash_catalog(old, k=5, num_hashes=32, seed=42)
+    return incremental_minhash_pairs(
+        new, cat, k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
     synthetic embeddings are near-uniform, max pairwise cosine ~0.51;
@@ -515,6 +558,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
     "near_dup_keep_quality": q_near_dup_keep_quality,
+    "incremental_exact_dedup": q_incremental_exact_dedup,
+    "incremental_minhash": q_incremental_minhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -544,6 +589,10 @@ def oracle_sql() -> dict[str, str]:
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),
         "near_dup_groups": _o.near_dup_groups_sql(
+            k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+        ),
+        "incremental_exact_dedup": _o.incremental_exact_dedup_sql(),
+        "incremental_minhash": _o.incremental_minhash_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),
         "simhash_pairs": _o.simhash_pairs_sql(max_hamming=6),

@@ -1,0 +1,109 @@
+"""Incremental / cross-snapshot dedup vs a persisted catalog."""
+
+from __future__ import annotations
+
+from textalyzer_spark.operators import incremental as inc
+
+
+def _batches(spark):
+    """Batch 2 contains: one exact dup of batch 1 (doc 12), one
+    near-dup of batch 1 (doc 13 ~ doc 2), one intra-batch exact dup
+    pair (14/15), and one genuinely new doc (16)."""
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+            (3, "completely different content about glaciers in patagonia"),
+        ],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (12, "the quick brown fox jumps over the lazy dog again and again"),
+            (13, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+            (14, "a brand new crawl page about deep sea vents"),
+            (15, "a brand new crawl page about deep sea vents"),
+            (16, "unique fresh text mentioning wind turbines in denmark"),
+        ],
+        "doc_id bigint, text string",
+    )
+    return b1, b2
+
+
+def test_incremental_exact_two_batches(spark):
+    b1, b2 = _batches(spark)
+    cat = inc.exact_catalog(b1)
+    assert cat.count() == 3
+    surv = inc.incremental_exact_dedup(b2, cat)
+    kept = {r["doc_id"] for r in surv.collect()}
+    # 12 is an exact dup of batch 1 -> dropped; 14/15 collapse to 14;
+    # 13 (near-dup, different bytes) and 16 survive the EXACT pass
+    assert kept == {13, 14, 16}
+    cat2 = inc.updated_exact_catalog(cat, surv)
+    assert cat2.count() == 6  # catalog grows by the survivors
+    # a third batch repeating a batch-2 survivor is now dropped too
+    b3 = spark.createDataFrame(
+        [(21, "a brand new crawl page about deep sea vents")],
+        "doc_id bigint, text string",
+    )
+    assert inc.incremental_exact_dedup(b3, cat2).count() == 0
+
+
+def test_incremental_minhash_two_batches(spark):
+    b1, b2 = _batches(spark)
+    cat = inc.minhash_catalog(b1, k=3, num_hashes=32, seed=42)
+    out = inc.incremental_minhash_pairs(
+        b2, cat, k=3, num_hashes=32, bands=8, threshold=0.5, seed=42
+    ).collect()
+    matches = {(r["doc_old"], r["doc_new"]): r["est_jaccard"] for r in out}
+    # the exact dup matches its original with full signature agreement
+    assert matches[(1, 12)] == 1.0
+    # the near-dup matches doc 2 with high-but-sub-1 estimated jaccard
+    assert (2, 13) in matches and 0.5 <= matches[(2, 13)] < 1.0
+    # fresh docs match nothing in the catalog
+    assert not any(new in (14, 15, 16) for (_, new) in matches)
+
+
+def test_incremental_matches_oneshot_union(spark):
+    """A doc dropped incrementally must be exactly a doc the one-shot
+    exact_dedup over the union corpus would not keep (same md5 key,
+    same keep-min-id)."""
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.dedup import exact_dedup
+
+    b1, b2 = _batches(spark)
+    surv = inc.incremental_exact_dedup(b2, inc.exact_catalog(b1))
+    union_keep = {
+        r["keep_id"]
+        for r in exact_dedup(b1.unionByName(b2)).collect()
+    }
+    inc_keep = {r["doc_id"] for r in surv.collect()}
+    # every incremental survivor is a union-corpus keeper too
+    assert inc_keep <= union_keep
+    # and the union keepers not kept incrementally are exactly the
+    # batch-1 representatives (already in the catalog)
+    b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    assert union_keep - inc_keep <= b1_ids
+
+
+def test_catalog_snapshot_commit_protocol(spark, tmp_path):
+    import os
+
+    b1, b2 = _batches(spark)
+    base = str(tmp_path / "catalog")
+    n1 = inc.write_catalog_snapshot(inc.exact_catalog(b1), base)
+    assert n1 == 1
+    cat = inc.read_catalog(spark, base)
+    surv = inc.incremental_exact_dedup(b2, cat)
+    n2 = inc.write_catalog_snapshot(
+        inc.updated_exact_catalog(cat, surv), base
+    )
+    assert n2 == 2
+    assert inc.read_catalog(spark, base).count() == 6
+    # an uncommitted (no _SUCCESS) snapshot is invisible to readers
+    os.makedirs(f"{base}/snapshot=3")
+    with open(f"{base}/snapshot=3/part-junk.parquet", "w") as fh:
+        fh.write("torn write")
+    assert inc.latest_catalog_snapshot(spark, base) == 2
+    assert inc.read_catalog(spark, base).count() == 6

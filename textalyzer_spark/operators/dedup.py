@@ -233,6 +233,29 @@ def _signatures_from_shingles(
     )
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """``(doc_id, band, bucket)`` from a ``(doc_id, signature)`` table:
+    the signature cut into ``bands`` bands of ``rows`` values, each
+    band's values joined as a string bucket key (NOT re-hashed — see
+    the key-width note in :func:`minhash_lsh_pairs`). Shared by the
+    single-corpus LSH join and the incremental catalog join."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), bnd * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 3,
@@ -278,21 +301,7 @@ def minhash_lsh_pairs(
     # 8-byte rehash is marginal; equality semantics are identical
     # minus a ~2^-64 collision false-positive the exact-verify stage
     # would kill anyway)
-    buckets = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("signature"), bnd * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    buckets = _band_buckets(sigs, bands, rows)
     # the band-bucket table feeds the mega-bucket guard AND both join
     # sides; without materialization each consumer re-runs the python
     # minhash signature stage over the whole corpus

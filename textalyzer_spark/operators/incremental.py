@@ -1,0 +1,228 @@
+"""Incremental / cross-snapshot deduplication against a persisted
+catalog — the standard 100 TB workflow: a new crawl batch is deduped
+against the fingerprint/signature catalog of everything already
+ingested, then the catalog is advanced one snapshot.
+
+This is the batch analog of the streaming state-store dedup
+(streaming/jobs.py): the catalog plays the state store, an anti-join
+plays the state lookup. Reference semantics inherited: the exact
+fingerprint key is the same md5 the single-corpus
+:func:`~textalyzer_spark.operators.dedup.exact_dedup` groups on, and
+the minhash signatures/band buckets are bit-identical to
+:func:`~textalyzer_spark.operators.dedup.minhash_lsh_pairs` — a doc
+dropped incrementally would also have been dropped by the one-shot
+operator over the union corpus.
+
+Scale notes: the exact path is one hash shuffle of the NEW batch plus
+an anti-join against the catalog keyed on fingerprint (bucketed/
+broadcast by the optimizer — the catalog never rewrites). The minhash
+path joins band buckets, so catalog traffic is proportional to bucket
+collisions, not catalog size; signatures are num_hashes ints per doc
+— the only state a 10^12-doc catalog needs (no shingle storage), with
+similarity estimated from signature agreement (the classic MinHash
+estimator E[agree/num_hashes] = J).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.dedup import (
+    _band_buckets,
+    _distinct_shingles,
+    _signatures_from_shingles,
+)
+
+
+# --------------------------------------------------------------------------
+# exact (fingerprint catalog)
+# --------------------------------------------------------------------------
+
+
+def exact_catalog(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(fingerprint, keep_id)`` catalog of a corpus snapshot — the
+    md5-of-raw-text key of ``exact_dedup`` with its keep-min-id
+    survivor."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivors of the NEW batch against a prior-snapshot catalog:
+    ``(doc_id, fingerprint)`` — one row per fingerprint that is (a)
+    absent from the catalog and (b) deduped within the batch to its
+    minimal doc_id. Exactly the docs ``exact_dedup`` over the union
+    corpus would keep, minus the already-cataloged ones."""
+    grouped = (
+        new_df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias("doc_id"))
+    )
+    return grouped.join(
+        catalog.select("fingerprint"), "fingerprint", "left_anti"
+    ).select("doc_id", "fingerprint")
+
+
+def updated_exact_catalog(
+    catalog: DataFrame, survivors: DataFrame
+) -> DataFrame:
+    """The next catalog snapshot: prior entries + the new batch's
+    survivors (their doc_id becomes the keep_id)."""
+    return catalog.unionByName(
+        survivors.select(
+            "fingerprint", F.col("doc_id").alias("keep_id")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash (signature catalog)
+# --------------------------------------------------------------------------
+
+
+def minhash_catalog(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, signature array<bigint>)`` snapshot catalog — the
+    JVM-side signature pipeline of ``minhash_lsh_pairs`` (md5-LE8
+    base hash mod p, affine mins), num_hashes ints per doc: the only
+    state the incremental path ever needs."""
+    sh = _distinct_shingles(df, k, id_col, text_col)
+    return _signatures_from_shingles(sh, num_hashes, seed)
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    catalog: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_docs: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot near-duplicate matches of the NEW batch against
+    a signature catalog: ``(doc_old, doc_new, est_jaccard)``.
+
+    Candidates come from band-bucket collisions between catalog and
+    batch signatures (the same band cut as ``minhash_lsh_pairs``);
+    similarity is the MinHash estimator agree/num_hashes — unrounded
+    (exact in binary for power-of-two num_hashes), catalog-storable,
+    and value-exact in the DuckDB twin. ``max_bucket_docs`` guards on
+    the COMBINED (catalog + batch) bucket occupancy.
+
+    A new doc with any returned match is a near-duplicate of already-
+    ingested data; survivors = new docs with no row here (anti-join),
+    and their signatures append to the catalog for the next snapshot.
+    """
+    rows = num_hashes // bands
+    new_sigs = minhash_catalog(
+        new_df, k, num_hashes, seed, id_col, text_col
+    ).localCheckpoint()
+    cat_sigs = catalog
+    ob = _band_buckets(cat_sigs, bands, rows)
+    nb = _band_buckets(new_sigs, bands, rows)
+    if max_bucket_docs is not None:
+        ok = (
+            ob.select("band", "bucket")
+            .unionAll(nb.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket_docs)
+            .select("band", "bucket")
+        )
+        ob = ob.join(ok, ["band", "bucket"])
+        nb = nb.join(ok, ["band", "bucket"])
+    cands = (
+        ob.alias("o")
+        .join(
+            nb.alias("n"),
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.bucket") == F.col("n.bucket")),
+        )
+        .select(
+            F.col("o.doc_id").alias("doc_old"),
+            F.col("n.doc_id").alias("doc_new"),
+        )
+        .distinct()
+    )
+    so = cat_sigs.select(
+        F.col("doc_id").alias("doc_old"), F.col("signature").alias("sig_o")
+    )
+    sn = new_sigs.select(
+        F.col("doc_id").alias("doc_new"), F.col("signature").alias("sig_n")
+    )
+    # signature agreement on CANDIDATE rows only (post-bucket-join):
+    # the interpreted zip_with runs on collisions, never the corpus
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_o", "sig_n", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        cands.join(so, "doc_old")
+        .join(sn, "doc_new")
+        .select(
+            "doc_old",
+            "doc_new",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# snapshot persistence (lineage.py commit protocol)
+# --------------------------------------------------------------------------
+
+
+def write_catalog_snapshot(catalog: DataFrame, base_dir: str) -> int:
+    """Append-only snapshot write: the catalog lands in
+    ``{base_dir}/snapshot=N`` (N = 1 + latest committed snapshot) and
+    is committed by parquet's ``_SUCCESS`` marker — the lineage.py
+    protocol: a killed writer leaves an uncommitted directory that
+    the reader ignores and the next writer overwrites. Returns N.
+
+    On a real cluster each snapshot is one atomic Iceberg commit; the
+    reader/writer contract below is identical."""
+    n = latest_catalog_snapshot(catalog.sparkSession, base_dir) + 1
+    catalog.write.mode("overwrite").parquet(f"{base_dir}/snapshot={n}")
+    return n
+
+
+def latest_catalog_snapshot(spark: SparkSession, base_dir: str) -> int:
+    """Highest COMMITTED (``_SUCCESS``-marked) snapshot id, or 0."""
+    import os
+
+    best = 0
+    if os.path.isdir(base_dir):
+        for name in os.listdir(base_dir):
+            if name.startswith("snapshot=") and os.path.exists(
+                os.path.join(base_dir, name, "_SUCCESS")
+            ):
+                best = max(best, int(name.split("=", 1)[1]))
+    return best
+
+
+def read_catalog(spark: SparkSession, base_dir: str) -> DataFrame:
+    """The latest committed catalog snapshot."""
+    n = latest_catalog_snapshot(spark, base_dir)
+    if n == 0:
+        raise FileNotFoundError(f"no committed catalog under {base_dir}")
+    return spark.read.parquet(f"{base_dir}/snapshot={n}")

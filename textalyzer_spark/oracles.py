@@ -80,6 +80,70 @@ def word_frequency_sql() -> str:
 # --------------------------------------------------------------------------
 
 
+def minhash_params_cte(num_hashes: int = 32, seed: int = 42) -> str:
+    """``params(i, a, b)`` VALUES CTE of the engine's affine minhash
+    permutation constants (dedup._hash_params, same seed)."""
+    from textalyzer_spark.operators.dedup import _hash_params
+
+    av, bv = _hash_params(num_hashes, seed)
+    return (
+        "params(i, a, b) AS (VALUES\n      "
+        + _values_rows([(i, av[i], bv[i]) for i in range(num_hashes)])
+        + "\n        )"
+    )
+
+
+def minhash_sig_band_ctes(
+    prefix: str = "",
+    source_where: str = "",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """The tokenize -> shingle -> signature -> band-bucket chain as a
+    composable CTE block (requires :func:`minhash_params_cte` named
+    ``params`` alongside): emits ``{p}shn(doc_id, shingle)``,
+    ``{p}sig(doc_id, i, h)`` and ``{p}bnd(doc_id, band, bucket)``.
+    ``prefix`` + ``source_where`` let the incremental-dedup oracle
+    instantiate the chain once per corpus snapshot."""
+    from textalyzer_spark.operators.dedup import _P
+
+    p = prefix
+    rows = num_hashes // bands
+    lead_join = " || ' ' || ".join(
+        ["w"] + [f"lead(w,{j}) OVER win" for j in range(1, k)]
+    )
+    from textalyzer_spark.functions.alphabet import toks_lower_sql
+
+    rx = alpha_token_regex()
+    toks_expr = toks_lower_sql(f"regexp_extract_all(text, '{rx}')")
+    return f"""{p}rawt AS (
+          SELECT doc_id, {toks_expr} AS tl FROM documents {source_where}
+        ), {p}toks AS (
+          SELECT doc_id, unnest(tl) AS w,
+                 generate_subscripts(tl, 1) AS pos
+          FROM {p}rawt
+        ), {p}sh AS (
+          SELECT DISTINCT doc_id, {lead_join} AS shingle
+          FROM {p}toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), {p}shn AS (
+          SELECT doc_id, shingle FROM {p}sh WHERE shingle IS NOT NULL
+        ), {p}base AS (
+          -- md5_number_upper == the engine's md5-LE8 base hash, mod p
+          SELECT doc_id,
+                 CAST(md5_number_upper(shingle) % {_P} AS BIGINT) AS x
+          FROM {p}shn
+        ), {p}sig AS (
+          SELECT doc_id, p.i, min((x * p.a + p.b) % {_P}) AS h
+          FROM {p}base CROSS JOIN params p
+          GROUP BY doc_id, p.i
+        ), {p}bnd AS (
+          SELECT doc_id, i // {rows} AS band,
+                 string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+          FROM {p}sig GROUP BY doc_id, i // {rows}
+        )"""
+
+
 def minhash_pairs_ctes(
     k: int = 5,
     num_hashes: int = 32,
@@ -92,45 +156,9 @@ def minhash_pairs_ctes(
     (no leading ``WITH``), terminating in ``mh_pairs(doc_a, doc_b,
     jaccard)`` — reused by the near-dup cluster-resolution oracles,
     which chain connected components on top of the SAME pair SQL."""
-    from textalyzer_spark.operators.dedup import _P, _hash_params
-
-    av, bv = _hash_params(num_hashes, seed)
-    rows = num_hashes // bands
-    params = _values_rows([(i, av[i], bv[i]) for i in range(num_hashes)])
-    lead_join = " || ' ' || ".join(
-        ["w"] + [f"lead(w,{j}) OVER win" for j in range(1, k)]
-    )
-    from textalyzer_spark.functions.alphabet import toks_lower_sql
-
-    rx = alpha_token_regex()
-    toks_expr = toks_lower_sql(f"regexp_extract_all(text, '{rx}')")
-    return f"""rawt AS (
-          SELECT doc_id, {toks_expr} AS tl FROM documents
-        ), toks AS (
-          SELECT doc_id, unnest(tl) AS w,
-                 generate_subscripts(tl, 1) AS pos
-          FROM rawt
-        ), sh AS (
-          SELECT DISTINCT doc_id, {lead_join} AS shingle
-          FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-        ), shn AS (
-          SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
-        ), params(i, a, b) AS (VALUES
-      {params}
-        ), base AS (
-          -- md5_number_upper == the engine's md5-LE8 base hash, mod p
-          SELECT doc_id,
-                 CAST(md5_number_upper(shingle) % {_P} AS BIGINT) AS x
-          FROM shn
-        ), sig AS (
-          SELECT doc_id, p.i, min((x * p.a + p.b) % {_P}) AS h
-          FROM base CROSS JOIN params p
-          GROUP BY doc_id, p.i
-        ), bnd AS (
-          SELECT doc_id, i // {rows} AS band,
-                 string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
-          FROM sig GROUP BY doc_id, i // {rows}
-        ), okb AS (
+    params = minhash_params_cte(num_hashes, seed)
+    sig_band = minhash_sig_band_ctes("", "", k, num_hashes, bands)
+    return f"""{params}, {sig_band}, okb AS (
           -- mirrors the engine's max_bucket_docs mega-bucket guard
           SELECT band, bucket FROM bnd
           GROUP BY 1, 2 HAVING count(*) <= {max_bucket_docs}
@@ -227,6 +255,81 @@ def near_dup_groups_sql(
         WITH RECURSIVE {pairs}, {connected_components_ctes()}
         SELECT doc_id, component, doc_id = component AS keep
         FROM cc_labels
+    """
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup vs a persisted catalog (operators/incremental.py)
+# --------------------------------------------------------------------------
+
+
+def incremental_exact_dedup_sql(
+    old_where: str = "WHERE doc_id % 2 = 0",
+    new_where: str = "WHERE doc_id % 2 = 1",
+) -> str:
+    """Twin of ``incremental_exact_dedup`` with the corpus split into
+    a prior snapshot (catalog source) and a new batch: new-batch
+    fingerprints grouped to their min doc_id, anti-joined against the
+    catalog fingerprints."""
+    return f"""
+        WITH cat AS (
+          SELECT DISTINCT md5(text) AS fingerprint
+          FROM documents {old_where}
+        ), grouped AS (
+          SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
+          FROM documents {new_where}
+          GROUP BY 1
+        )
+        SELECT doc_id, fingerprint
+        FROM grouped
+        WHERE fingerprint NOT IN (SELECT fingerprint FROM cat)
+    """
+
+
+def incremental_minhash_sql(
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    seed: int = 42,
+    max_bucket_docs: int = 1000,
+    old_where: str = "WHERE doc_id % 2 = 0",
+    new_where: str = "WHERE doc_id % 2 = 1",
+) -> str:
+    """Twin of ``incremental_minhash_pairs``: the signature/band chain
+    instantiated once per snapshot (same affine params), candidates
+    from cross-snapshot bucket collisions under the COMBINED-occupancy
+    guard, similarity = the MinHash agreement estimator
+    agree/num_hashes (unrounded — exact in binary for power-of-two
+    num_hashes, so no cross-engine rounding hazard)."""
+    params = minhash_params_cte(num_hashes, seed)
+    o = minhash_sig_band_ctes("o_", old_where, k, num_hashes, bands)
+    n = minhash_sig_band_ctes("n_", new_where, k, num_hashes, bands)
+    return f"""
+        WITH {params}, {o}, {n}, okb AS (
+          -- combined catalog + batch bucket occupancy guard
+          SELECT band, bucket FROM (
+            SELECT band, bucket FROM o_bnd
+            UNION ALL
+            SELECT band, bucket FROM n_bnd
+          ) GROUP BY 1, 2 HAVING count(*) <= {max_bucket_docs}
+        ), cand AS (
+          SELECT DISTINCT o.doc_id AS doc_old, nn.doc_id AS doc_new
+          FROM o_bnd o
+          JOIN okb USING (band, bucket)
+          JOIN n_bnd nn ON nn.band = o.band AND nn.bucket = o.bucket
+        ), agree AS (
+          SELECT c.doc_old, c.doc_new,
+                 sum(CASE WHEN os.h = ns.h THEN 1 ELSE 0 END) AS n_eq
+          FROM cand c
+          JOIN o_sig os ON os.doc_id = c.doc_old
+          JOIN n_sig ns ON ns.doc_id = c.doc_new AND ns.i = os.i
+          GROUP BY 1, 2
+        )
+        SELECT doc_old, doc_new,
+               n_eq / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+        FROM agree
+        WHERE n_eq / CAST({num_hashes} AS DOUBLE) >= {threshold}
     """
 
 
