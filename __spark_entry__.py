@@ -285,6 +285,20 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned-BPE token counting (Sennrich 2016): top-100 merge
+    rules trained on the corpus (one distributed word-histogram pass +
+    driver loop over the capped histogram), then per-doc token counts
+    under the learned table. The oracle re-learns the SAME merges in
+    SQL (recursive recount-pick-apply CTE) and replays the application
+    — training and counting both value-exact, no frozen constants."""
+    from textalyzer_spark.operators.bpe import token_counts_bpe_learned
+
+    return token_counts_bpe_learned(
+        _docs(spark, sf_dir), n_merges=100, max_vocab=50_000
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash near-dup pairs; value-exact DuckDB twin
     in oracles.winnow_pairs_sql (direct polynomial k-gram hash mod M
@@ -532,6 +546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
+    "token_counts_bpe": q_token_counts_bpe,
     "winnow_pairs": q_winnow_pairs,
     "char_frequency": q_char_frequency,
     "embedding_near_dup": q_embedding_near_dup,
@@ -590,6 +605,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "near_dup_groups": _o.near_dup_groups_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+        ),
+        "token_counts_bpe": _o.bpe_token_counts_sql(
+            n_merges=100, max_vocab=50_000
         ),
         "incremental_exact_dedup": _o.incremental_exact_dedup_sql(),
         "incremental_minhash": _o.incremental_minhash_sql(

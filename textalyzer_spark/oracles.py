@@ -259,6 +259,105 @@ def near_dup_groups_sql(
 
 
 # --------------------------------------------------------------------------
+# Learned BPE token counting (operators/bpe.py)
+# --------------------------------------------------------------------------
+
+
+def bpe_token_counts_sql(
+    n_merges: int = 100, max_vocab: int = 50_000
+) -> str:
+    """Twin of ``token_counts_bpe_learned``: BOTH the training and the
+    application are replayed in SQL — no frozen constants, the merge
+    table is re-learned from the same corpus by a recursive CTE.
+
+    * ``bpe``: one iteration = one merge rank — recount every adjacent
+      symbol position over the (frequency-capped) vocabulary weighted
+      by word count, pick ``ORDER BY total DESC, a, b LIMIT 1`` (==
+      the engine's (-total, a, b) heap key), apply vocabulary-wide as
+      one ``replace`` (left-to-right non-overlapping replace-all ==
+      Python ``str.replace``); the chosen pair rides along as (ma,
+      mb), becoming the ``merges`` table.
+    * ``app``: replays the recorded rules in rank order over every
+      DISTINCT corpus word (vocab-capped or not) — exactly the
+      engine's ``bpe_apply``; iterations with no learned rule pass
+      through via LEFT JOIN.
+
+    Whole-text lowering uses the final-sigma replay
+    (alphabet.text_lower_sql), mirroring the engine's JVM ``lower``.
+    """
+    from textalyzer_spark.functions.alphabet import text_lower_sql
+
+    lower_expr = text_lower_sql("text")
+    char_split = r"' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' '"
+    return rf"""
+        WITH RECURSIVE lowdocs AS (
+          SELECT doc_id, {lower_expr} AS lt FROM documents
+        ), dw AS (
+          SELECT doc_id, w, count(*) AS k FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lt, '\s+'),
+                                      t -> t <> '')) AS w
+            FROM lowdocs
+          ) GROUP BY 1, 2
+        ), vocab AS (
+          SELECT w, CAST(sum(k) AS BIGINT) AS cnt FROM dw GROUP BY w
+          ORDER BY cnt DESC, w ASC LIMIT {max_vocab}
+        ), seed AS (
+          SELECT w, cnt, {char_split} AS syms FROM vocab
+        ), bpe AS (
+          SELECT 0 AS it, w, cnt, syms,
+                 CAST(NULL AS VARCHAR) AS ma, CAST(NULL AS VARCHAR) AS mb
+          FROM seed
+          UNION ALL
+          SELECT it + 1, w, cnt,
+                 replace(syms, ' ' || bst.a || ' ' || bst.b || ' ',
+                               ' ' || bst.a || bst.b || ' '),
+                 bst.a, bst.b
+          FROM bpe, (
+            SELECT a, b FROM (
+              SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS total
+              FROM (
+                SELECT cnt, l, unnest(range(1, len(l))) AS i
+                FROM (SELECT cnt, string_split(trim(syms), ' ') AS l
+                      FROM bpe)
+              )
+              GROUP BY 1, 2
+            ) WHERE total > 0
+            ORDER BY total DESC, a ASC, b ASC LIMIT 1
+          ) bst(a, b)
+          WHERE it < {n_merges}
+        ), merges AS (
+          SELECT DISTINCT it, ma, mb FROM bpe WHERE it > 0
+        ), aw AS (
+          SELECT DISTINCT w FROM dw
+        ), app AS (
+          SELECT w, 0 AS it, {char_split} AS syms FROM aw
+          UNION ALL
+          SELECT a.w, a.it + 1,
+                 CASE WHEN m.ma IS NULL THEN a.syms
+                      ELSE replace(a.syms,
+                                   ' ' || m.ma || ' ' || m.mb || ' ',
+                                   ' ' || m.ma || m.mb || ' ') END
+          FROM app a LEFT JOIN merges m ON m.it = a.it + 1
+          WHERE a.it < {n_merges}
+        ), applied AS (
+          SELECT w, len(string_split(trim(syms), ' ')) AS n_sub
+          FROM app WHERE it = {n_merges}
+        ), per_doc AS (
+          SELECT dw.doc_id,
+                 CAST(sum(dw.k) AS INTEGER) AS n_words,
+                 CAST(sum(dw.k * ap.n_sub) AS INTEGER) AS n_bpe_tokens
+          FROM dw JOIN applied ap ON ap.w = dw.w
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_words, 0) AS n_words,
+               coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+# --------------------------------------------------------------------------
 # Incremental dedup vs a persisted catalog (operators/incremental.py)
 # --------------------------------------------------------------------------
 
