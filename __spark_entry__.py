@@ -17,11 +17,15 @@ gen_unicode_tables.py), matching the reference's char::is_alphabetic.
 EVERY tokenizing oracle extracts raw runs with that generated class
 and lowercases per token with the final-sigma-aware expression
 (functions.alphabet.tok_lower_sql); whole-text-lower oracles
-(fingerprint, winnow_pairs) replay the sigma context with
-text_lower_sql. Verified range: every script, bounded only by the
-documented exclusions in functions/alphabet.py (4 codepoints whose
-utf8proc lower() diverges, exotic mixed-script sigma contexts);
-Greek/Cyrillic/CJK fixtures run the gate mirror in
+(fingerprint, winnow_pairs, token_counts_bpe) replay the sigma
+context with text_lower_sql. Verified range (round 5): EVERY
+codepoint — the former exclusion list is zeroed: divergent-lower
+cps are normalized to the JVM mapping on both sides
+(alphabet.ORACLE_LOWER_OVERRIDES / alphabet.jvm_lower), and the
+consuming sigma pattern covers mid-token non-cased followers; the
+one documented approximation left is adjacent sigma contexts
+sharing case-ignorable runs (alphabet.text_lower_sql docstring).
+Greek/Cyrillic/CJK + divergent-cp fixtures run the gate mirror in
 tests/test_oracle_edge_corpus.py. char_frequency and token_counts
 are ASCII-class BY DESIGN in engine and oracle alike.
 """

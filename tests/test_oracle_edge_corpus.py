@@ -233,12 +233,15 @@ def test_multiscript_gate_mirror(spark, multiscript_sf_dir, name):
 
 
 def _fuzz_docs(n_docs: int = 60, seed: int = 20260817):
-    """Deterministic randomized corpus drawn from the VERIFIED range:
-    single-script tokens (Greek incl. Σ/ς/ypogegrammeni, Cyrillic,
-    CJK, Latin+accents) joined by random separators — the documented
-    exclusions (divergent-lower cps, mixed-script sigma contexts) are
-    avoided by construction, everything else is fair game."""
+    """Deterministic randomized corpus over the ENTIRE verified range
+    — which since round 5 includes the formerly-excluded territory:
+    divergent-lower codepoints (İ, newer-Unicode cased letters) and
+    MIXED-script tokens (sigma with non-cased followers), normalized
+    to the JVM mapping by alphabet.jvm_lower / the oracle override
+    chain."""
     import random
+
+    from textalyzer_spark.functions.alphabet import ORACLE_LOWER_DIVERGENT
 
     rng = random.Random(seed)
     pools = [
@@ -247,6 +250,9 @@ def _fuzz_docs(n_docs: int = 60, seed: int = 20260817):
         "αβγδεζηθικλμνξοπρστυφχψωςΣΑΒΓΔΕΖΗΘΙΚΛΜΝΞΟΠΡΤΥΦΧΨῼΆΈΉΊΌΎΏάέήίόύώ",
         "абвгдежзийклмнопрстуфхцчшщъыьэюяАБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЫЭЮЯЁё",
         "中文字例子测试分析文档数据引擎大规模处理日本語形態素解析",
+        # round 5: divergent-lower cps + a mixed-script sigma pool
+        "".join(chr(c) for c in ORACLE_LOWER_DIVERGENT),
+        "ΣςΑ中文İxy" + chr(0x10570) + chr(0x1C89),
     ]
     seps = [" ", "  ", ", ", ". ", "\n", " 12 ", "—", "·", "'", "; "]
     docs = []

@@ -145,3 +145,66 @@ def test_python_tokenizer_class_equals_jvm_class(spark):
     jvm = [r["t"] for r in df.select(tokens_col("text").alias("t")).collect()]
     py = [tokenize_text(t) for t in texts]
     assert jvm == py
+
+
+def test_lower_overrides_match_live_runtimes(spark):
+    """Round-5 exclusion-zeroing guard: alphabet.jvm_lower (the
+    Python/Arrow engine path) and alphabet.text_lower_sql (the DuckDB
+    oracle path) must both equal the LIVE JVM's lower() on a
+    deterministic adversarial corpus covering every divergent cp,
+    mixed-script sigma contexts, and the override interactions."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.functions.alphabet import (
+        ORACLE_LOWER_DIVERGENT,
+        jvm_lower,
+        text_lower_sql,
+    )
+
+    rng = random.Random(20260817)
+    div = [chr(c) for c in ORACLE_LOWER_DIVERGENT]
+    pools = [
+        div,
+        list("ΑΒΓΣςσΔΕαβγ·ʼ"),
+        list("abcXYZ"),
+        list("中文日本"),
+        list("абвГД"),
+        [" ", "'", "."],
+    ]
+    samples = [
+        "".join(
+            rng.choice(rng.choice(pools))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(250)
+    ]
+    samples += [
+        "ΑΣ中",                       # mid-token non-cased follower
+        "xİΣ",                        # multi-char override + sigma
+        chr(0x10570) + "Σ",           # newer-Unicode cased context
+        chr(0x1C89) + "Σ",
+        "𐖈中İΣ\U00010d5b本中",        # the probed Python-sigma trap
+        "ΑΣ·Σ·",                      # adjacent ignorable-run sigmas
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, s string"
+    )
+    jvm = {r["i"]: r["l"] for r in df.select(
+        "i", F.lower("s").alias("l")).collect()}
+    bad_py = [
+        (samples[i], jvm[i], jvm_lower(samples[i]))
+        for i in range(len(samples))
+        if jvm_lower(samples[i]) != jvm[i]
+    ]
+    assert not bad_py, bad_py[:5]
+    con = duckdb.connect()
+    sql = "SELECT " + text_lower_sql("?")
+    bad_sql = [
+        (s, jvm[i], con.execute(sql, [s]).fetchone()[0])
+        for i, s in enumerate(samples)
+        if con.execute(sql, [s]).fetchone()[0] != jvm[i]
+    ]
+    assert not bad_sql, bad_sql[:5]

@@ -16,14 +16,25 @@ rather than silently wrong outside it):
 
 * tokenization (the split) is exact for EVERY codepoint — the class
   is the JVM's own table;
-* per-token lowercasing is exact for every alphabetic codepoint
-  except ``ORACLE_LOWER_DIVERGENT`` (4 cps whose utf8proc mapping
-  lags the JDK: U+0130 İ and three Latin-Extended-D rarities), and
-  except tokens where a final ``Σ`` is followed — after case-
-  ignorable skips — by an alphabetic char that is neither cased nor
-  ignorable (e.g. a Greek-CJK mixed token ``ΑΣ中``): Java treats that
-  sigma as final, the oracle's ``$``-anchored rule does not. Real
-  single-script text never hits either exclusion.
+* lowercasing is exact for EVERY codepoint (round 5 — the former
+  exclusion list is zeroed): the ``ORACLE_LOWER_DIVERGENT`` cps
+  (where JVM / Python / DuckDB 1:1 mappings disagree — U+0130 İ plus
+  newer-Unicode cased letters one runtime's tables lag on) are
+  normalized to the JVM mapping on both sides — the oracle
+  pre-substitutes them via ``ORACLE_LOWER_OVERRIDES``
+  (:func:`lower_override_sql`, probed lower-stable at generation),
+  and the Python/Arrow paths route through :func:`jvm_lower`; the
+  final-sigma rule uses the CONSUMING context pattern in per-token
+  position too, so mid-token non-cased followers (``ΑΣ中``) lower
+  exactly like the JVM.
+
+The one remaining approximation (documented, not silent): a sigma
+whose backward case-ignorable skip-run crosses a char consumed as a
+previous sigma-match's terminator is not re-examined by the replay
+(see :func:`text_lower_sql`); only adjacent sigma contexts sharing
+case-ignorable runs hit this, never plain text. :func:`jvm_lower`
+shares the replay VERBATIM, so the Python engine path and the SQL
+oracle agree with each other even in that corner.
 """
 
 from __future__ import annotations
@@ -34,6 +45,7 @@ from functools import lru_cache
 from textalyzer_spark.functions._unicode_tables import (
     ALPHA_RANGES,
     ORACLE_LOWER_DIVERGENT,
+    ORACLE_LOWER_OVERRIDES,
     SIGMA_CASED_RANGES,
     SIGMA_IGNORABLE_RANGES,
 )
@@ -41,12 +53,14 @@ from textalyzer_spark.functions._unicode_tables import (
 __all__ = [
     "ALPHA_RANGES",
     "ORACLE_LOWER_DIVERGENT",
+    "ORACLE_LOWER_OVERRIDES",
+    "jvm_lower",
+    "lower_override_sql",
     "py_alpha_regex",
     "re2_alpha_class",
     "re2_strip_class",
     "re2_sigma_cased_class",
     "re2_sigma_ignorable_class",
-    "re2_sigma_ignorable_lower_class",
     "text_lower_sql",
     "tok_lower_sql",
     "toks_lower_sql",
@@ -109,44 +123,43 @@ def re2_sigma_ignorable_class() -> str:
 
 
 @lru_cache(maxsize=None)
-def re2_sigma_ignorable_lower_class() -> str:
-    """The ignorable class CLOSED under lowercasing — the trailing
-    skip chars in a LOWERED token are the lowered forms of the raw
-    ones (Python lower == JVM lower on every alphabetic cp, verified
-    by the generator probe)."""
-    cps = set()
-    for a, b in SIGMA_IGNORABLE_RANGES:
-        for cp in range(a, b + 1):
-            cps.add(cp)
-            low = chr(cp).lower()
-            if len(low) == 1:
-                cps.add(ord(low))
-    ranges: list[list[int]] = []
-    for cp in sorted(cps):
-        if ranges and cp == ranges[-1][1] + 1:
-            ranges[-1][1] = cp
-        else:
-            ranges.append([cp, cp])
-    return _class_body(ranges, _fmt_re2)
+def _override_split() -> tuple[dict[int, str], dict[int, str]]:
+    ones = {
+        cp: t for cp, t in ORACLE_LOWER_OVERRIDES.items() if len(t) == 1
+    }
+    multi = {
+        cp: t for cp, t in ORACLE_LOWER_OVERRIDES.items() if len(t) != 1
+    }
+    return ones, multi
+
+
+def lower_override_sql(expr: str) -> str:
+    """DuckDB expression normalizing every divergent-lower codepoint
+    to the JVM's mapping BEFORE lower(): one codepoint-wise
+    ``translate`` for the 1:1 targets plus a ``replace`` per
+    multi-char expansion (U+0130 İ -> i + combining dot). Sound
+    because generation probes each target to be DuckDB-lower-stable
+    and sigma-context-preserving."""
+    ones, multi = _override_split()
+    if ones:
+        keys = sorted(ones)
+        frm = "".join(chr(cp) for cp in keys)
+        to = "".join(ones[cp] for cp in keys)
+        expr = f"translate({expr}, '{frm}', '{to}')"
+    for cp in sorted(multi):
+        expr = f"replace({expr}, '{chr(cp)}', '{multi[cp]}')"
+    return expr
 
 
 def tok_lower_sql(expr: str) -> str:
     """DuckDB expression: lowercase the raw token ``expr`` exactly as
-    Spark's ``lower`` does per token. utf8proc's lower() is already
-    codepoint-identical to the JDK on every alphabetic cp except the
-    documented divergents; the one CONTEXT rule (Greek final sigma:
-    a ``Σ`` preceded by a cased char — skipping case-ignorables — and
-    followed only by case-ignorables to token end lowers to ``ς``)
-    is replayed with the generated context classes."""
-    c = re2_sigma_cased_class()
-    i = re2_sigma_ignorable_class()
-    il = re2_sigma_ignorable_lower_class()
-    sigma_ctx = f"[{c}][{i}]*Σ[{i}]*$"
-    return (
-        f"CASE WHEN regexp_matches({expr}, '{sigma_ctx}') "
-        f"THEN regexp_replace(lower({expr}), 'σ([{il}]*)$', 'ς\\1') "
-        f"ELSE lower({expr}) END"
-    )
+    Spark's ``lower`` does per token — divergent-cp pre-substitution,
+    then the CONSUMING final-sigma context replay (which, unlike the
+    former ``$``-anchored rule, also fires mid-token when the
+    follower is a non-cased non-ignorable char, e.g. ``ΑΣ中``), then
+    ``lower``. Identical machinery to :func:`text_lower_sql` — a
+    token is just a short text."""
+    return text_lower_sql(expr)
 
 
 def toks_lower_sql(list_expr: str) -> str:
@@ -156,10 +169,13 @@ def toks_lower_sql(list_expr: str) -> str:
 
 
 def text_lower_sql(expr: str) -> str:
-    """DuckDB expression: lowercase WHOLE TEXT as Spark's / Python's
-    ``lower`` does. The final-sigma rule is replayed by a consuming
-    pre-substitution on the raw text: every ``Σ`` whose backward scan
-    (skip case-ignorables, then a cased char) and forward scan (skip
+    """DuckDB expression: lowercase WHOLE TEXT as Spark's ``lower``
+    does. Divergent codepoints are first normalized to their JVM
+    mapping (:func:`lower_override_sql` — sound pre-sigma because
+    generation asserts the targets preserve cased-context
+    membership); then the final-sigma rule is replayed by a consuming
+    pre-substitution: every ``Σ`` whose backward scan (skip
+    case-ignorables, then a cased char) and forward scan (skip
     case-ignorables, then a NON-cased non-ignorable char or
     end-of-text) both hold becomes ``ς`` before the 1:1 lower().
     The consumed forward-terminator is non-cased, so it can never be
@@ -173,6 +189,56 @@ def text_lower_sql(expr: str) -> str:
     i = re2_sigma_ignorable_class()
     pat = f"([{c}])([{i}]*)Σ([{i}]*)([^{c}{i}]|$)"
     return (
-        f"lower(regexp_replace({expr}, '{pat}', "
+        f"lower(regexp_replace({lower_override_sql(expr)}, '{pat}', "
         "'\\1\\2ς\\3\\4', 'g'))"
     )
+
+
+@lru_cache(maxsize=None)
+def _py_sigma_pattern() -> "re.Pattern[str]":
+    """The consuming final-sigma context pattern compiled for Python —
+    the SAME generated JVM classes as the SQL replay, used by
+    :func:`jvm_lower` to apply JVM-table sigma contexts that an older
+    Python Unicode table would miss."""
+    c = _class_body(SIGMA_CASED_RANGES, _fmt_py)
+    i = _class_body(SIGMA_IGNORABLE_RANGES, _fmt_py)
+    return re.compile(f"([{c}])([{i}]*)Σ([{i}]*)([^{c}{i}]|\\Z)")
+
+
+@lru_cache(maxsize=None)
+def _py_lower_fixup() -> dict[int, str]:
+    """Post-lower() translate table: the divergent cps whose Python
+    mapping is identity but whose JVM mapping lowers (newer-Unicode
+    letters Python's tables lag on). Safe post-lower because
+    lowering never PRODUCES these (uppercase) cps — one surviving in
+    lowered text means the input contained it."""
+    return {
+        cp: t
+        for cp, t in ORACLE_LOWER_OVERRIDES.items()
+        if chr(cp).lower() == chr(cp)
+    }
+
+
+def jvm_lower(s: str) -> str:
+    """Python ``lower`` corrected to the JVM's mapping on every
+    codepoint — the lowering the engine's Arrow/Python paths use so
+    both engine paths (and therefore the oracle) agree beyond what
+    this interpreter's Unicode tables know:
+
+    * ASCII fast path: ``str.lower`` unchanged (zero cost on the hot
+      path — every divergent cp and every sigma is non-ASCII);
+    * otherwise: replay JVM-table final-sigma contexts with the
+      generated consuming pattern, then force every REMAINING ``Σ``
+      to ``σ`` — a Σ the JVM-table replay did not finalize is
+      JVM-non-final, and leaving it for ``str.lower`` would let this
+      interpreter's OLDER sigma tables disagree (probed: Python
+      finalizes before a follower that is cased only in newer
+      Unicode). Sigma handling is thus 100% generated-table-driven,
+      sharing :func:`text_lower_sql`'s documented adjacent-sigma
+      approximation verbatim; then ``str.lower`` for everything
+      else, then the divergent-cp fixup translate."""
+    if s.isascii():
+        return s.lower()
+    if "Σ" in s:
+        s = _py_sigma_pattern().sub("\\1\\2ς\\3\\4", s).replace("Σ", "σ")
+    return s.lower().translate(_py_lower_fixup())

@@ -36,8 +36,9 @@ from textalyzer_spark.functions.alphabet import py_alpha_regex
 # tokens_col's \p{IsAlphabetic} on every codepoint. (The previous
 # [^\W\d_] approximation admitted superscripts/fractions like ²³¼
 # and missed Nl / Other_Alphabetic codepoints above 0x024F.)
-# Token lowercasing stays str.lower: probed equal to the JVM's lower
-# on every alphabetic codepoint, final-sigma contexts included.
+# Token lowercasing: str.lower on the ASCII fast path, and
+# alphabet.jvm_lower on non-ASCII tokens — JVM-exact on EVERY
+# codepoint (divergent-cp overrides + JVM-table sigma contexts).
 _ALPHA_RUN = py_alpha_regex()
 
 # ASCII fast path: IsAlphabetic ∩ ASCII is exactly [A-Za-z]
@@ -48,10 +49,16 @@ _ASCII_RUN = re.compile(r"[A-Za-z]+")
 
 
 def tokenize_text(text: str) -> list[str]:
-    """Plain-Python reference implementation (used by tests/goldens)."""
+    """Plain-Python reference implementation (used by tests/goldens).
+    Non-ASCII tokens lower via alphabet.jvm_lower, so this path equals
+    the JVM path on every codepoint (incl. the divergent-cp overrides
+    and JVM-table sigma contexts)."""
     text = text or ""
-    rx = _ASCII_RUN if text.isascii() else _ALPHA_RUN
-    return [t.lower() for t in rx.findall(text)]
+    if text.isascii():
+        return [t.lower() for t in _ASCII_RUN.findall(text)]
+    from textalyzer_spark.functions.alphabet import jvm_lower
+
+    return [jvm_lower(t) for t in _ALPHA_RUN.findall(text)]
 
 
 def tokens_col(text: Column | str) -> Column:
@@ -72,14 +79,21 @@ def tokenize_pandas(s: pd.Series) -> pd.Series:
     vectorized findall with the ASCII fast-path split applied
     row-wise (mask + two findalls beats one slow full-class pass on
     mostly-ASCII batches)."""
+    from textalyzer_spark.functions.alphabet import jvm_lower
+
     s = s.fillna("")
     mask = s.map(str.isascii)
     out = pd.Series(index=s.index, dtype=object)
     if mask.any():
-        out[mask] = s[mask].str.findall(_ASCII_RUN)
+        out[mask] = s[mask].str.findall(_ASCII_RUN).map(
+            lambda toks: [t.lower() for t in toks]
+        )
     if (~mask).any():
-        out[~mask] = s[~mask].str.findall(_ALPHA_RUN)
-    return out.map(lambda toks: [t.lower() for t in toks])
+        # jvm_lower: JVM-exact beyond this interpreter's Unicode tables
+        out[~mask] = s[~mask].str.findall(_ALPHA_RUN).map(
+            lambda toks: [jvm_lower(t) for t in toks]
+        )
+    return out
 
 
 @pandas_udf(ArrayType(StringType()))

@@ -176,6 +176,8 @@ def bpe_token_counts(
 
     import pandas as pd
 
+    from textalyzer_spark.functions.alphabet import jvm_lower as _jl
+
     ws = re.compile(r"\s+")
     mg = list(merges)
 
@@ -184,7 +186,7 @@ def bpe_token_counts(
         for pdf in batches:
             ids, n_words, n_toks = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in ws.split((text or "").lower()) if w]
+                words = [w for w in ws.split(_jl(text or "")) if w]
                 total = 0
                 for w in words:
                     n = cache.get(w)

@@ -47,7 +47,9 @@ def rolling_kgram_hashes(text: str, k: int) -> list[int]:
     is now k CHARACTERS on every script (a byte hash split multi-byte
     chars mid-sequence) and the DuckDB twin's per-character ascii(c)
     matches exactly beyond ASCII (pytest: accented near-dup corpus)."""
-    data = [ord(c) for c in text.lower()]
+    from textalyzer_spark.functions.alphabet import jvm_lower
+
+    data = [ord(c) for c in jvm_lower(text)]
     n = len(data)
     if n < k:
         return []
@@ -92,9 +94,11 @@ def _kgram_hashes_batch(texts: list[str], k: int):
     # (the round-4 `assert k <= 8` was stricter than the math requires
     # — character k-grams with k in the 10-25 winnowing range work)
 
+    from textalyzer_spark.functions.alphabet import jvm_lower
+
     codes = [
         np.frombuffer(
-            (t or "").lower().encode("utf-32-le"), dtype=np.uint32
+            jvm_lower(t or "").encode("utf-32-le"), dtype=np.uint32
         ).astype(np.int64)
         for t in texts
     ]

@@ -34,9 +34,9 @@ def alpha_token_regex() -> str:
     gen_unicode_tables.py — the wcwidth-range-table technique applied
     to the tokenizer) and covers the ENTIRE codepoint space, so the
     split has a value-exact cross-engine twin on every script, not
-    just Latin. Per-token lowercasing parity is the remaining bound:
-    see functions.alphabet's verified-range contract (4 divergent
-    codepoints + exotic final-sigma contexts documented out).
+    just Latin. Per-token lowercasing is likewise exact on every
+    codepoint (functions.alphabet's verified-range contract: the
+    divergent-cp override table + the consuming final-sigma replay).
     On pure-ASCII corpora the class reduces to exactly the rows
     ``[a-z]+`` produced, so its presence in a registered oracle is
     behavior-preserving for the driver tables."""

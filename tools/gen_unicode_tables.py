@@ -106,18 +106,39 @@ def probe_jvm(spark) -> dict:
     con.execute("CREATE TABLE t(cp INT, ch VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", [(c, chr(c)) for c in cps])
     dlower = dict(con.execute("SELECT cp, lower(ch) FROM t").fetchall())
-    # any cp where the three 1:1 mappings disagree is outside the
-    # oracle-verified range (Python backs the Arrow-UDF paths)
+    # any cp where the three 1:1 mappings disagree gets an OVERRIDE to
+    # the JVM mapping (the engine ground truth): the oracles
+    # pre-substitute cp -> jlower before lower(), and the Python/Arrow
+    # paths post-fix their lower() output (alphabet.jvm_lower)
     divergent = sorted(
         cp
         for cp in cps
         if not (dlower[cp] == jlower[cp] == chr(cp).lower())
     )
+    overrides = {cp: jlower[cp] for cp in divergent}
+    cased_set = set(cased)
+    for cp, t in overrides.items():
+        # pre-substitution is only sound if the JVM-lowered form (a)
+        # survives a DuckDB lower() unchanged, (b) contains no SQL
+        # string/regex metacharacters, and (c) preserves the sigma
+        # cased-context membership of the original char — probe all
+        # three so a future runtime bump fails generation loudly
+        dl = con.execute("SELECT lower(?)", [t]).fetchone()[0]
+        assert dl == t, f"override target not lower-stable: U+{cp:05X} {t!r}"
+        # targets land inside plain SQL string literals (translate/
+        # replace, never regex) — only quote/backslash could break out
+        assert "'" not in t and "\\" not in t, (cp, t)
+        assert chr(cp) not in ("'", "\\")
+        if cp in cased_set:
+            assert any(ord(c) in cased_set for c in t), (
+                f"U+{cp:05X} cased but its lowered form is not: {t!r}"
+            )
     return {
         "alpha": alpha,
         "cased": cased,
         "ignorable": ignorable,
         "divergent": divergent,
+        "overrides": overrides,
         "jlower": jlower,
     }
 
@@ -153,8 +174,14 @@ def main() -> None:
         f"SIGMA_IGNORABLE_RANGES = {_to_ranges(t['ignorable'])!r}",
         "",
         "# cps where JVM/Python/DuckDB 1:1 lower() mappings disagree —",
-        "# corpora containing them are outside the oracle-verified range",
+        "# each is normalized to the JVM mapping via ORACLE_LOWER_OVERRIDES",
+        "# (oracles pre-substitute before lower(); Python paths post-fix",
+        "# via alphabet.jvm_lower), so none remains an oracle exclusion",
         f"ORACLE_LOWER_DIVERGENT = {t['divergent']!r}",
+        "",
+        "# cp -> the JVM's lower() output (generation asserts each target",
+        "# is DuckDB-lower-stable, non-ASCII-only, and cased-preserving)",
+        f"ORACLE_LOWER_OVERRIDES = {t['overrides']!r}",
         "",
     ]
     with open(OUT, "w") as f:
