@@ -438,3 +438,44 @@ def test_resize_ppm_real_and_stub(spark):
         for r in resize_images(media, 2, 1, fake=True).collect()
     }
     assert passthru["j1"] == b"\xff\xd8junk"
+
+
+def test_streaming_near_dup_metrics_counters(spark, tmp_path):
+    """Round-5 observability: output='metrics' exposes the per-bucket
+    state counters a long-running stream alerts on. Five identical
+    docs through cap-2 buckets: recency rings evict and keep hitting;
+    admit-first rejects instead and its n_evicted stays 0."""
+    from textalyzer_spark.streaming.jobs import (
+        run_to_completion_foreach,
+        streaming_near_dup,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    for mode in ("recency", "admit-first"):
+        inp = str(tmp_path / f"in_{mode}")
+        ckpt = str(tmp_path / f"ck_{mode}")
+        kw = dict(
+            k=3, num_hashes=8, bands=2, min_est_jaccard=1.0,
+            max_bucket_state=2, eviction=mode, output="metrics",
+        )
+        rows = []
+        for i in range(5):
+            spark.createDataFrame(
+                [(f"D{i}", text)], "doc_id string, text string"
+            ).write.mode("append").parquet(inp)
+            rows = run_to_completion_foreach(
+                streaming_near_dup(spark, inp, **kw), ckpt
+            )
+        # final emission per bucket carries the cumulative counters
+        last = {(r["band"], r["bucket"]): r for r in rows}
+        assert len(last) == 2  # one bucket per band (identical sigs)
+        for m in last.values():
+            assert m["n_seen"] == 5
+            # every later doc matched a stored signature exactly
+            assert m["n_hits"] == 4
+            assert m["n_state"] <= 2
+            if mode == "recency":
+                assert m["n_evicted"] == 3 and m["n_rejected"] == 0
+            else:
+                assert m["n_rejected"] == 3 and m["n_evicted"] == 0

@@ -95,6 +95,7 @@ def streaming_near_dup(
     min_est_jaccard: float = 0.5,
     max_bucket_state: int = 1000,
     eviction: str = "recency",
+    output: str = "pairs",
 ) -> DataFrame:
     """Custom stateful streaming operator: cross-batch NEAR-duplicate
     detection — the streaming twin of ``minhash_lsh_pairs``.
@@ -125,9 +126,25 @@ def streaming_near_dup(
       bucket still match against the stored signatures but are never
       added; keeps the earliest documents canonical at the price of
       missing dups among later arrivals.
+
+    ``output`` selects the emitted rows — the STATE evolves
+    identically either way (cumulative counters ride in the state
+    store next to the signatures):
+
+    * ``"pairs"`` (default): the duplicate matches described above;
+    * ``"metrics"``: one observability row per active bucket per
+      microbatch — ``(band, bucket, n_state, n_seen, n_evicted,
+      n_rejected, n_hits)`` (cumulative) — so a long-running stream
+      can alert on recall decay: a climbing ``n_evicted`` (recency)
+      means the ring is cycling faster than duplicates arrive, and a
+      climbing ``n_rejected`` (admit-first) measures exactly how much
+      of the stream the bucket has gone blind to. Run it as a second
+      query over the same input with its own checkpoint.
     """
     if eviction not in ("recency", "admit-first"):
         raise ValueError(f"unknown eviction {eviction!r}")
+    if output not in ("pairs", "metrics"):
+        raise ValueError(f"unknown output {output!r}: pairs | metrics")
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -162,7 +179,7 @@ def streaming_near_dup(
         # in-batch docs that were ADMITTED (first cap-S of the batch),
         # with argmax ties resolved in admission order (state first).
         if state.exists:
-            ids, sigs_flat = state.get
+            ids, sigs_flat, n_seen, n_evicted, n_rejected, n_hits = state.get
             known_ids = list(ids)
             known = (
                 np.asarray(sigs_flat, dtype=np.int64).reshape(
@@ -173,6 +190,7 @@ def streaming_near_dup(
             )
         else:
             known_ids, known = [], np.empty((0, num_hashes), dtype=np.int64)
+            n_seen = n_evicted = n_rejected = n_hits = 0
         parts = [p for p in pdfs if len(p)]
         out_doc, out_dup, out_est = [], [], []
         if parts:
@@ -230,10 +248,35 @@ def streaming_near_dup(
                 known_ids.extend(ids_b[:n_admit])
                 known = np.vstack([known, batch[:n_admit]])
                 if eviction == "recency" and len(known_ids) > max_bucket_state:
+                    n_evicted += len(known_ids) - max_bucket_state
                     known_ids = known_ids[-max_bucket_state:]
                     known = known[-max_bucket_state:]
-        state.update((known_ids, [int(x) for x in known.ravel()]))
-        if out_doc:
+            n_seen += n_b
+            n_rejected += n_b - n_admit
+            n_hits += len(out_doc)
+        state.update(
+            (
+                known_ids,
+                [int(x) for x in known.ravel()],
+                int(n_seen),
+                int(n_evicted),
+                int(n_rejected),
+                int(n_hits),
+            )
+        )
+        if output == "metrics":
+            yield pd.DataFrame(
+                {
+                    "band": [int(key[0])],
+                    "bucket": [key[1]],
+                    "n_state": [len(known_ids)],
+                    "n_seen": [int(n_seen)],
+                    "n_evicted": [int(n_evicted)],
+                    "n_rejected": [int(n_rejected)],
+                    "n_hits": [int(n_hits)],
+                }
+            )
+        elif out_doc:
             yield pd.DataFrame(
                 {
                     "doc_id": out_doc,
@@ -243,12 +286,19 @@ def streaming_near_dup(
                 }
             )
 
+    out_schema = (
+        "band int, bucket string, n_state bigint, n_seen bigint, "
+        "n_evicted bigint, n_rejected bigint, n_hits bigint"
+        if output == "metrics"
+        else "doc_id string, dup_of string, est_jaccard double, band int"
+    )
     return buckets.groupBy("band", "bucket").applyInPandasWithState(
         proc,
-        outputStructType=(
-            "doc_id string, dup_of string, est_jaccard double, band int"
+        outputStructType=out_schema,
+        stateStructType=(
+            "ids array<string>, sigs array<bigint>, n_seen bigint, "
+            "n_evicted bigint, n_rejected bigint, n_hits bigint"
         ),
-        stateStructType="ids array<string>, sigs array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
