@@ -69,6 +69,11 @@ def main() -> None:
         "exact_dedup",
         "ngram_jaccard",
         "minhash_lsh",
+        "near_dup_groups",
+        "near_dup_keep_quality",
+        "incremental_exact_dedup",
+        "incremental_minhash",
+        "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",
         "lsh_cosine_topk",
