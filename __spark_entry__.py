@@ -531,7 +531,10 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     old, new = _split_batches(spark, sf_dir)
-    cat = minhash_catalog(old, k=5, num_hashes=32, seed=42)
+    # in production the catalog is READ from a snapshot; here it is
+    # computed in-query, so materialize it once — it feeds both the
+    # band join and the signature-agreement verify
+    cat = minhash_catalog(old, k=5, num_hashes=32, seed=42).localCheckpoint()
     return incremental_minhash_pairs(
         new, cat, k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
     )

@@ -138,6 +138,10 @@ def near_dedup(
     lq = labels.join(q, "doc_id", "left").withColumn(
         "_q", F.coalesce(F.col("_q"), F.lit(float("-inf")))
     )
+    # lq fans out to three consumers (qmax, keep_ids, the final
+    # select) — materialize once or the quality pipeline re-tokenizes
+    # the corpus per consumer (the engine's standard fan-out rule)
+    lq = lq.localCheckpoint()
     # two narrow aggs instead of a per-component window: a mega
     # component (boilerplate family) would otherwise pin one task
     qmax = lq.groupBy("component").agg(F.max("_q").alias("_qmax"))
