@@ -138,10 +138,12 @@ def near_dedup(
     lq = labels.join(q, "doc_id", "left").withColumn(
         "_q", F.coalesce(F.col("_q"), F.lit(float("-inf")))
     )
-    # lq fans out to three consumers (qmax, keep_ids, the final
-    # select) — materialize once or the quality pipeline re-tokenizes
-    # the corpus per consumer (the engine's standard fan-out rule)
-    lq = lq.localCheckpoint()
+    # NO localCheckpoint here despite the three consumers (qmax,
+    # keep_ids, final select): Catalyst's ReusedExchange dedupes the
+    # identical quality subplan across them inside ONE query, and an
+    # eager materialization barrier measured SLOWER (5.54 s vs 4.81 s
+    # at sf0.1 — A/B in BENCH.md). The fan-out rule applies to
+    # multi-ACTION pipelines, not single-action subplan fan-out.
     # two narrow aggs instead of a per-component window: a mega
     # component (boilerplate family) would otherwise pin one task
     qmax = lq.groupBy("component").agg(F.max("_q").alias("_qmax"))
