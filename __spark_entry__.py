@@ -101,6 +101,44 @@ def _quality_ctes(toks_expr: str) -> str:
             )"""
 
 
+def _lang_ctes(toks_expr: str) -> str:
+    """The lang_id oracle as a composable CTE chain ending in
+    ``lang(doc_id, pred_lang, lang_score)`` — shared by the lang_id
+    gate and the stratified-sampling bucket join."""
+    return f"""lt AS (
+              SELECT doc_id, {toks_expr} AS toks FROM documents
+            ), ls AS (
+              SELECT doc_id,
+                len(list_filter(toks, w -> list_contains(
+                  ['der','die','das','und','ist','nicht','ein','zu'], w))) AS s_de,
+                len(list_filter(toks, w -> list_contains(
+                  ['the','a','is','and','of','to','in','it'], w))) AS s_en,
+                len(list_filter(toks, w -> list_contains(
+                  ['el','la','los','es','y','de','que','un'], w))) AS s_es,
+                len(list_filter(toks, w -> list_contains(
+                  ['le','la','les','est','et','de','que','un'], w))) AS s_fr,
+                len(list_filter(toks, w -> list_contains(
+                  ['de','shi','le','bu','wo','ni','ta','men'], w))) AS s_zh
+              FROM lt
+            ), lang AS (
+              SELECT doc_id,
+                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'unk'
+                     WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                     WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                     WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                     WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                     ELSE 'zh' END AS pred_lang,
+                CAST(greatest(s_de,s_en,s_es,s_fr,s_zh) AS BIGINT) AS lang_score
+              FROM ls
+            )"""
+
+
+#: the stratified-sampling gate fixture: per-language keep rates
+MIX_RATES = {"en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+MIX_DEFAULT_RATE = 0.2
+MIX_SALT = "mix-v1"
+
+
 # --------------------------------------------------------------------------
 # queries — each (spark, sf_dir) -> DataFrame
 # --------------------------------------------------------------------------
@@ -166,6 +204,33 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from textalyzer_spark.operators.quality import lang_id
 
     return lang_id(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (duplicate bi/tri-
+    gram occurrence fractions, top-bigram coverage, duplicate-line
+    fraction) — the standard boilerplate/spam pre-training filter.
+    Ratios are unrounded doubles of integer counts (bit-identical
+    cross-engine, the est_jaccard convention)."""
+    from textalyzer_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus mixing: per-language keep
+    rates applied via the md5-LE8 hash variate (pure function of
+    (salt, doc_id) — reproducible across re-runs, task retries, AQE
+    re-plans, and engines; a stateless scan filter at any corpus
+    size). Output: the kept (doc_id, pred_lang, u)."""
+    from textalyzer_spark.operators.quality import lang_id
+    from textalyzer_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    return stratified_sample(
+        lang, "pred_lang", MIX_RATES, MIX_DEFAULT_RATE, salt=MIX_SALT
+    ).select("doc_id", "pred_lang", "u")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +639,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -877,32 +944,69 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "lang_id": f"""
-            WITH t AS (
-              SELECT doc_id, {_toks} AS toks
-              FROM documents
-            ), s AS (
+            WITH {_lang_ctes(_toks)}
+            SELECT doc_id, pred_lang, lang_score FROM lang
+        """,
+        "stratified_sample": f"""
+            WITH {_lang_ctes(_toks)}
+            SELECT doc_id, pred_lang,
+                   CAST(md5_number_upper('{MIX_SALT}'
+                        || CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                     / 18446744073709551616.0 AS u
+            FROM lang
+            WHERE CAST(md5_number_upper('{MIX_SALT}'
+                       || CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                    / 18446744073709551616.0
+                  < CASE pred_lang
+                      {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
+                      ELSE {MIX_DEFAULT_RATE} END
+        """,
+        "repetition_stats": f"""
+            WITH rawt AS (
+              SELECT doc_id, {_toks} AS toks, text FROM documents
+            ), bg AS (
               SELECT doc_id,
-                len(list_filter(toks, w -> list_contains(
-                  ['der','die','das','und','ist','nicht','ein','zu'], w))) AS s_de,
-                len(list_filter(toks, w -> list_contains(
-                  ['the','a','is','and','of','to','in','it'], w))) AS s_en,
-                len(list_filter(toks, w -> list_contains(
-                  ['el','la','los','es','y','de','que','un'], w))) AS s_es,
-                len(list_filter(toks, w -> list_contains(
-                  ['le','la','les','est','et','de','que','un'], w))) AS s_fr,
-                len(list_filter(toks, w -> list_contains(
-                  ['de','shi','le','bu','wo','ni','ta','men'], w))) AS s_zh
-              FROM t
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM rawt
+            ), bgc AS (
+              SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+            ), bstat AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS nd, max(c) AS top
+              FROM bgc GROUP BY 1
+            ), tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+              FROM rawt
+            ), tgc AS (
+              SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2
+            ), tstat AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS nd
+              FROM tgc GROUP BY 1
+            ), ln AS (
+              -- nonempty trimmed lines; trim set pinned to ' \\t\\r'
+              SELECT doc_id,
+                     trim(unnest(string_split(text, chr(10))),
+                          ' ' || chr(9) || chr(13)) AS l
+              FROM documents
+            ), lnc AS (
+              SELECT doc_id, l, count(*) AS c FROM ln WHERE l <> ''
+              GROUP BY 1, 2
+            ), lstat AS (
+              SELECT doc_id, sum(c) AS total, count(*) AS nd
+              FROM lnc GROUP BY 1
             )
-            SELECT doc_id,
-              CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'unk'
-                   WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
-                   WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
-                   WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
-                   WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
-                   ELSE 'zh' END AS pred_lang,
-              CAST(greatest(s_de,s_en,s_es,s_fr,s_zh) AS BIGINT) AS lang_score
-            FROM s
+            SELECT r.doc_id,
+                   CAST(len(r.toks) AS INTEGER) AS n_tokens,
+                   (b.total - b.nd) / CAST(b.total AS DOUBLE) AS dup_bigram_frac,
+                   (t.total - t.nd) / CAST(t.total AS DOUBLE) AS dup_trigram_frac,
+                   b.top * 2 / CAST(len(r.toks) AS DOUBLE) AS top_bigram_frac,
+                   (l.total - l.nd) / CAST(l.total AS DOUBLE) AS dup_line_frac
+            FROM rawt r
+            LEFT JOIN bstat b ON b.doc_id = r.doc_id
+            LEFT JOIN tstat t ON t.doc_id = r.doc_id
+            LEFT JOIN lstat l ON l.doc_id = r.doc_id
         """,
         "fingerprint": rf"""
             -- whole-text lower with the final-sigma replay (the

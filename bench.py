@@ -65,6 +65,8 @@ def main() -> None:
         "token_stats",
         "quality_score",
         "lang_id",
+        "repetition_stats",
+        "stratified_sample",
         "fingerprint",
         "exact_dedup",
         "ngram_jaccard",

@@ -86,3 +86,69 @@ def test_fingerprint_whitespace_invariant(spark):
     fps = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
     assert fps["a"] == fps["b"]
     assert fps["a"] != fps["c"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    from textalyzer_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a\nx\nx"),
+            (2, ""),          # no tokens, no lines
+            (3, "solo"),      # one token: no bigrams, one line
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    # tokens cross newlines: [a b a b a x x] — bigrams ab ba ab ba ax
+    # xx -> (6-4)/6; trigrams aba bab aba bax axx -> (5-4)/5; top
+    # bigram ('a b', count 2) covers 4 of 7 token positions
+    assert r1["n_tokens"] == 7
+    assert r1["dup_bigram_frac"] == 2 / 6
+    assert r1["dup_trigram_frac"] == 1 / 5
+    assert r1["top_bigram_frac"] == 2 * 2 / 7
+    assert r1["dup_line_frac"] == 1 / 3  # "a b a b a", "x", "x"
+    r2 = out[2]
+    assert r2["n_tokens"] == 0
+    assert all(
+        r2[c] is None
+        for c in ("dup_bigram_frac", "dup_trigram_frac",
+                  "top_bigram_frac", "dup_line_frac")
+    )
+    r3 = out[3]
+    assert r3["n_tokens"] == 1 and r3["dup_bigram_frac"] is None
+    assert r3["dup_line_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    a = stratified_sample(df, "lang", {"en": 0.8, "de": 0.2}).collect()
+    b = stratified_sample(df, "lang", {"en": 0.8, "de": 0.2}).collect()
+    # pure function of (salt, doc_id): identical keep set on re-run
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    kept = {"en": 0, "de": 0}
+    for r in a:
+        kept[r["lang"]] += 1
+        assert r["u"] < (0.8 if r["lang"] == "en" else 0.2)
+    # 2000 docs per stratum: binomial 5-sigma bounds
+    assert abs(kept["en"] - 1600) < 5 * (2000 * 0.8 * 0.2) ** 0.5
+    assert abs(kept["de"] - 400) < 5 * (2000 * 0.2 * 0.8) ** 0.5
+    # default rate drops unmatched strata entirely at 0.0
+    c = stratified_sample(df, "lang", {"en": 0.5}).collect()
+    assert all(r["lang"] == "en" for r in c)
+    # the salt re-draws the variates: different keep set, same size law
+    d = {r["doc_id"] for r in hash_sample(df, 0.5, salt="s1").collect()}
+    e = {r["doc_id"] for r in hash_sample(df, 0.5, salt="s2").collect()}
+    assert d != e
+    assert abs(len(d) - 2000) < 5 * (4000 * 0.25) ** 0.5

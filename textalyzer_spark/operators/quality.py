@@ -142,6 +142,87 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, Table A1 — the public repetition-filter recipe), the
+    standard pre-training filter for boilerplate/spam:
+
+    ``(doc_id, n_tokens, dup_bigram_frac, dup_trigram_frac,
+    top_bigram_frac, dup_line_frac)``
+
+    * ``dup_{bi,tri}gram_frac`` — fraction of n-gram OCCURRENCES that
+      are duplicates within the doc: (total - distinct) / total;
+    * ``top_bigram_frac`` — token positions covered by the most
+      frequent bigram: top_count * 2 / n_tokens (tie-independent —
+      only the count is used);
+    * ``dup_line_frac`` — duplicate fraction of nonempty trimmed
+      lines (trim set pinned to ``' \\t\\r'`` so the SQL twin is
+      character-exact).
+
+    All ratios are UNROUNDED doubles of integer counts: both engines
+    divide identical ints, so the doubles are bit-identical and no
+    rounding-boundary hazard exists (the est_jaccard convention).
+    NULL when the denominator is 0. Arrow-batched per-doc pass — no
+    shuffle at any corpus size (the stats never leave the row)."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from textalyzer_spark.functions.tokenize import tokenize_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_text(text or "")
+                n = len(toks)
+                out = {"doc_id": doc_id, "n_tokens": n}
+                for k, name in ((2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+                    grams = [
+                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                    ]
+                    out[name] = (
+                        (len(grams) - len(set(grams))) / len(grams)
+                        if grams
+                        else None
+                    )
+                bigrams = Counter(
+                    " ".join(toks[i : i + 2]) for i in range(n - 1)
+                )
+                out["top_bigram_frac"] = (
+                    max(bigrams.values()) * 2 / n if bigrams else None
+                )
+                lines = [
+                    ln.strip(" \t\r")
+                    for ln in (text or "").split("\n")
+                ]
+                lines = [ln for ln in lines if ln]
+                out["dup_line_frac"] = (
+                    (len(lines) - len(set(lines))) / len(lines)
+                    if lines
+                    else None
+                )
+                rows.append(out)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_tokens", "dup_bigram_frac",
+                    "dup_trigram_frac", "top_bigram_frac", "dup_line_frac",
+                ],
+            )
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.mapInPandas(
+        run,
+        f"doc_id {id_type}, n_tokens int, dup_bigram_frac double, "
+        "dup_trigram_frac double, top_bigram_frac double, "
+        "dup_line_frac double",
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Content fingerprint over whitespace-normalized lowercased text:
     ``(doc_id, fingerprint string)`` (md5 hex). The normalization makes

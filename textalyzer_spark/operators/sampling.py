@@ -1,0 +1,68 @@
+"""Deterministic hash sampling / stratified corpus mixing.
+
+The data-mixing step of a training-data pipeline: downsample each
+stratum (language, quality band, source domain) at its own rate to
+hit a target mixture. Sampling is DETERMINISTIC per document — the
+keep decision is a pure function of (salt, doc_id), so
+
+* a re-run (or a resumed run over a subset of partitions) keeps
+  exactly the same documents — no RNG state, no seed-per-partition
+  coupling to the physical plan (``df.sample`` re-draws under AQE
+  re-planning / task retries; this never does);
+* the decision is reproducible across engines: the uniform variate is
+  ``md5-LE8(salt || doc_id) / 2^64`` — the engine's cross-engine hash
+  (== DuckDB ``md5_number_upper``), cast to double identically on
+  both sides, so the DuckDB twin is value-exact;
+* at 10^12 docs it is a stateless filter on the scan — no shuffle,
+  full predicate/column pushdown around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.dedup import _md5_le8_col
+
+_TWO64 = float(1 << 64)
+
+
+def sample_u(id_col: Column | str, salt: str = "") -> Column:
+    """The deterministic uniform variate in [0, 1): md5-LE8 of
+    ``salt || doc_id`` divided by 2^64 (double; bit-identical in the
+    DuckDB twin)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = _md5_le8_col(F.concat(F.lit(salt), c.cast("string")))
+    return (h.cast("double") / F.lit(_TWO64)).alias("u")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff its deterministic variate < ``rate``."""
+    return df.filter(sample_u(id_col, salt) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    bucket_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its variate
+    < ``rates.get(bucket, default_rate)``. Adds the ``u`` column (the
+    variate) so the decision is auditable; strata are matched with a
+    literal CASE chain in sorted-key order (pinned, oracle-mirrored).
+    """
+    rate = F.lit(float(default_rate))
+    for k in sorted(rates, reverse=True):
+        rate = F.when(F.col(bucket_col) == k, F.lit(float(rates[k]))).otherwise(
+            rate
+        )
+    u = sample_u(id_col, salt)
+    return df.withColumn("u", u).filter(F.col("u") < rate)
