@@ -605,6 +605,25 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the EMBEDDING near-dup pairs — the
+    near_dedup(pairs=...) composition path under the gate: LSH pair
+    generation (same params as q_embedding_near_dup_lsh) -> connected
+    components over vec_ids -> keep-min-id."""
+    from textalyzer_spark.operators.near_dedup import near_dedup
+    from textalyzer_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    pairs = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.35, dim=64, n_bits=4, n_tables=16
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return near_dedup(emb, pairs=pairs, id_col="vec_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
     synthetic embeddings are near-uniform, max pairwise cosine ~0.51;
@@ -623,6 +642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_frequency": q_char_frequency,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "embedding_near_dup_groups": q_embedding_near_dup_groups,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "duplicate_block_candidates": q_duplicate_block_candidates,
     "duplicate_blocks_resolved": q_duplicate_blocks_resolved,
@@ -699,6 +719,9 @@ def oracle_sql() -> dict[str, str]:
             query_mod=50
         ),
         "embedding_near_dup_lsh": _o.embedding_near_dup_lsh_sql(
+            threshold=0.35, dim=64, n_bits=4, n_tables=16, seed=42
+        ),
+        "embedding_near_dup_groups": _o.embedding_near_dup_groups_sql(
             threshold=0.35, dim=64, n_bits=4, n_tables=16, seed=42
         ),
         "line_display_width": _o.line_display_width_sql(),

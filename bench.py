@@ -81,6 +81,7 @@ def main() -> None:
         "lsh_cosine_topk",
         "embedding_near_dup",
         "embedding_near_dup_lsh",
+        "embedding_near_dup_groups",
         "ivf_cosine_topk",
         "lexical_complexity",
         "token_counts",

@@ -207,6 +207,11 @@ MULTISCRIPT_QUERIES = [
     "quality_score", "lang_id",
     "ngram_jaccard", "minhash_lsh", "simhash_pairs", "winnow_pairs",
     "fingerprint", "exact_dedup", "char_frequency", "token_counts",
+    # round 5: whole-text lowering (BPE), per-doc repetition signals,
+    # lang-bucketed sampling, and the near-dup cluster resolution —
+    # all must hold on a Greek+Cyrillic+CJK corpus
+    "token_counts_bpe", "repetition_stats", "stratified_sample",
+    "near_dup_groups", "incremental_exact_dedup", "incremental_minhash",
     "duplicate_lines", "line_length", "line_display_width",
     # roundtrip extractions: the synthesize->extract templates must be
     # invertible beyond latin-1 (UTF-8 PDF literals since round 4)

@@ -214,20 +214,24 @@ def minhash_lsh_sql(
 # --------------------------------------------------------------------------
 
 
-def connected_components_ctes(pairs_cte: str = "mh_pairs") -> str:
+def connected_components_ctes(
+    pairs_cte: str = "mh_pairs",
+    docs_select: str = "SELECT doc_id FROM documents",
+) -> str:
     """Recursive connected-components CTE chain (compose under ``WITH
     RECURSIVE``): min-label walk over the symmetrized ``{pairs_cte}``
-    edges, seeded with every document — terminates because a label
-    only propagates to strictly larger doc_ids and the recursive UNION
-    de-duplicates states. Ends in ``cc_labels(doc_id, component)``
-    covering ALL documents (singletons label themselves), the same
-    labels as graph.connected_components (component = min doc_id)."""
+    edges, seeded with every node of ``docs_select`` (a one-column
+    ``doc_id`` SELECT) — terminates because a label only propagates
+    to strictly larger doc_ids and the recursive UNION de-duplicates
+    states. Ends in ``cc_labels(doc_id, component)`` covering ALL
+    nodes (singletons label themselves), the same labels as
+    graph.connected_components (component = min doc_id)."""
     return f"""edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
           UNION
           SELECT doc_b, doc_a FROM {pairs_cte}
         ), walk AS (
-          SELECT doc_id, doc_id AS label FROM documents
+          SELECT doc_id, doc_id AS label FROM ({docs_select})
           UNION
           SELECT DISTINCT e.dst AS doc_id, walk.label
           FROM walk JOIN edges e ON e.src = walk.doc_id
@@ -638,6 +642,39 @@ def lsh_cosine_topk_sql(
     """
 
 
+def embedding_lsh_pairs_ctes(
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> str:
+    """The ``embedding_near_dup_lsh`` pipeline as a composable CTE
+    chain (no leading ``WITH``) ending in ``emb_pairs(vec_a, vec_b,
+    cosine)`` — reused by the embedding cluster-resolution oracle."""
+    return f"""v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), buck AS (
+          {_buckets_cte(dim, n_bits, n_tables, seed)}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM buck a JOIN buck b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), emb_pairs AS (
+          SELECT c.vec_a, c.vec_b,
+                 round(list_dot_product(va.e, vb.e)
+                       / (sqrt(list_dot_product(va.e, va.e))
+                          * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cosine
+          FROM cand c
+          JOIN v va ON va.vec_id = c.vec_a
+          JOIN v vb ON vb.vec_id = c.vec_b
+          WHERE round(list_dot_product(va.e, vb.e)
+                      / (sqrt(list_dot_product(va.e, va.e))
+                         * sqrt(list_dot_product(vb.e, vb.e))), 4)
+                >= {threshold}
+        )"""
+
+
 def embedding_near_dup_lsh_sql(
     threshold: float = 0.35,
     dim: int = 64,
@@ -646,26 +683,34 @@ def embedding_near_dup_lsh_sql(
     seed: int = 42,
 ) -> str:
     """Value-exact twin of ``embedding_near_dup_pairs_lsh``."""
+    ctes = embedding_lsh_pairs_ctes(threshold, dim, n_bits, n_tables, seed)
     return f"""
-        WITH v AS (
-          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        ), buck AS (
-          {_buckets_cte(dim, n_bits, n_tables, seed)}
-        ), cand AS (
-          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM buck a JOIN buck b
-            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-        )
-        SELECT c.vec_a, c.vec_b,
-               round(list_dot_product(va.e, vb.e)
-                     / (sqrt(list_dot_product(va.e, va.e))
-                        * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cosine
-        FROM cand c
-        JOIN v va ON va.vec_id = c.vec_a
-        JOIN v vb ON vb.vec_id = c.vec_b
-        WHERE round(list_dot_product(va.e, vb.e)
-                    / (sqrt(list_dot_product(va.e, va.e))
-                       * sqrt(list_dot_product(vb.e, vb.e))), 4) >= {threshold}
+        WITH {ctes}
+        SELECT vec_a, vec_b, cosine FROM emb_pairs
+    """
+
+
+def embedding_near_dup_groups_sql(
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> str:
+    """Twin of ``near_dedup(embeddings, pairs=<lsh pairs>,
+    id_col="vec_id")``: the exact embedding-LSH pair SQL chained into
+    the recursive connected-components walk over the EMBEDDINGS
+    table's nodes, keep-min-id rule."""
+    pairs = embedding_lsh_pairs_ctes(threshold, dim, n_bits, n_tables, seed)
+    cc = connected_components_ctes(
+        "ep", "SELECT vec_id AS doc_id FROM embeddings"
+    )
+    return f"""
+        WITH RECURSIVE {pairs}, ep AS (
+          SELECT vec_a AS doc_a, vec_b AS doc_b FROM emb_pairs
+        ), {cc}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
     """
 
 
