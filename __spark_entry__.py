@@ -570,6 +570,20 @@ def _split_batches(spark: SparkSession, sf_dir: str):
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (decontamination step):
+    docs with doc_id % 97 == 0 play the held-out benchmark; every
+    other doc reports the fraction of its token 5-gram occurrences
+    found verbatim in the benchmark set (broadcast semi-join over the
+    distinct benchmark shingles)."""
+    from textalyzer_spark.operators.dedup import contamination_stats
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_stats(train, bench, k=5)
+
+
 def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot EXACT dedup: the odd-id batch anti-joined
     against the even-id snapshot's fingerprint catalog, deduped
@@ -667,6 +681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
     "near_dup_keep_quality": q_near_dup_keep_quality,
+    "contamination": q_contamination,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
     "simhash_pairs": q_simhash_pairs,
@@ -983,6 +998,40 @@ def oracle_sql() -> dict[str, str]:
                   < CASE pred_lang
                       {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
                       ELSE {MIX_DEFAULT_RATE} END
+        """,
+        "contamination": f"""
+            WITH rawt AS (
+              SELECT doc_id, {_toks} AS toks FROM documents
+            ), trg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM rawt WHERE doc_id % 97 <> 0
+            ), bmg AS (
+              SELECT DISTINCT
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM rawt WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT t.doc_id,
+                     count(*) AS n_kgrams,
+                     count(b.g) AS n_contaminated
+              FROM trg t LEFT JOIN bmg b ON b.g = t.g
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+                   CAST(coalesce(h.n_contaminated, 0) AS BIGINT)
+                     AS n_contaminated,
+                   CASE WHEN coalesce(h.n_kgrams, 0) > 0
+                        THEN h.n_contaminated / CAST(h.n_kgrams AS DOUBLE)
+                   END AS contamination_frac
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "repetition_stats": f"""
             WITH rawt AS (

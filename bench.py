@@ -73,6 +73,7 @@ def main() -> None:
         "minhash_lsh",
         "near_dup_groups",
         "near_dup_keep_quality",
+        "contamination",
         "incremental_exact_dedup",
         "incremental_minhash",
         "token_counts_bpe",

@@ -107,3 +107,39 @@ def test_catalog_snapshot_commit_protocol(spark, tmp_path):
         fh.write("torn write")
     assert inc.latest_catalog_snapshot(spark, base) == 2
     assert inc.read_catalog(spark, base).count() == 6
+
+
+def test_contamination_stats_planted(spark):
+    """A training doc sharing a 5-token span with the benchmark is
+    flagged with the exact occurrence fraction; clean docs report 0;
+    short docs report NULL."""
+    from textalyzer_spark.operators.dedup import contamination_stats
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # 8 tokens; contains 'the quick brown fox jumps' (and 3
+            # more contaminated 5-gram positions sliding through)
+            (1, "once the quick brown fox jumps over everything"),
+            (2, "completely clean text with many distinct tokens here"),
+            (3, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in contamination_stats(train, bench, k=5).collect()
+    }
+    r1 = out[1]
+    # tokens: once the quick brown fox jumps over everything -> 4
+    # 5-grams; positions 2-4 ('the quick brown fox jumps',
+    # 'quick brown fox jumps over') are benchmark spans
+    assert r1["n_kgrams"] == 4
+    assert r1["n_contaminated"] == 2
+    assert r1["contamination_frac"] == 0.5
+    assert out[2]["n_contaminated"] == 0
+    assert out[2]["contamination_frac"] == 0.0
+    assert out[3]["n_kgrams"] == 0
+    assert out[3]["contamination_frac"] is None

@@ -356,6 +356,66 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection (the decontamination step of
+    a training-data pipeline, public recipe: GPT-3 appendix C /
+    PaLM-style n-gram overlap): for every training document, the
+    fraction of its token ``k``-gram occurrences that appear anywhere
+    in the ``benchmark`` corpus —
+
+    ``(doc_id, n_kgrams, n_contaminated, contamination_frac)``
+
+    A doc with ``contamination_frac > 0`` shares at least one k-token
+    span verbatim with the benchmark; filter or flag downstream.
+    ``contamination_frac`` is an unrounded double of integer counts
+    (bit-identical cross-engine).
+
+    Scale shape: the benchmark k-gram set is DISTINCT and tiny
+    relative to the corpus (benchmarks are thousands of docs, the
+    corpus 10^12) — Catalyst broadcasts it under AQE; the corpus side
+    is one shingle pass + a left semi-style join + one groupBy on
+    doc_id. Docs with < k tokens have no k-grams: n_kgrams=0 and a
+    NULL fraction."""
+    sh = doc_shingles(df, k, id_col, text_col)
+    bsh = (
+        doc_shingles(benchmark, k, bench_id_col, bench_text_col)
+        .select("shingle")
+        .distinct()
+    )
+    marked = sh.join(
+        F.broadcast(bsh.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        F.count("_hit").alias("n_contaminated"),
+    )
+    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kgrams"), F.lit(0)).cast("bigint").alias(
+                "n_kgrams"
+            ),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.when(
+                F.coalesce(F.col("n_kgrams"), F.lit(0)) > 0,
+                F.col("n_contaminated") / F.col("n_kgrams").cast("double"),
+            ).alias("contamination_frac"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: ``(doc_id, simhash bigint)``.
 
