@@ -139,6 +139,37 @@ MIX_DEFAULT_RATE = 0.2
 MIX_SALT = "mix-v1"
 
 
+def _pii_oracle_sql() -> str:
+    """Twin of q_pii_redaction: the synthesize_pii footer rebuilt in
+    SQL, the same pinned patterns (Java ∩ RE2 subset) counted on the
+    raw text and masked in the same order, md5 of the masked text."""
+    from textalyzer_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS INTEGER) AS n_{name}"
+        for name, rx, _ in PII_PATTERNS
+    )
+    masked = "t"
+    for _, rx, mask in PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{rx}', '{mask}', 'g')"
+    return f"""
+            WITH pdoc AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST(doc_id % 100 AS VARCHAR)
+                          || ' tel +1 (555) 123-4'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   {counts},
+                   md5({masked}) AS clean_md5
+            FROM pdoc
+        """
+
+
 # --------------------------------------------------------------------------
 # queries — each (spark, sf_dir) -> DataFrame
 # --------------------------------------------------------------------------
@@ -570,6 +601,20 @@ def _split_batches(spark: SparkSession, sf_dir: str):
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub roundtrip (the extraction-family pattern): each doc
+    gains a deterministic doc_id-derived contact footer (email + IPv4
+    + phone), then the redactor must count and mask every occurrence
+    — the oracle rebuilds the same footer in SQL and compares counts
+    plus the md5 of the fully masked text. Patterns are pinned to the
+    Java-regex ∩ RE2 subset; masking order pinned (email, ip, phone —
+    the raw-text phone count deliberately also hits the IP's digit
+    run, mirrored in SQL)."""
+    from textalyzer_spark.operators.pii import pii_stats, synthesize_pii
+
+    return pii_stats(synthesize_pii(_docs(spark, sf_dir)))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection (decontamination step):
     docs with doc_id % 97 == 0 play the held-out benchmark; every
@@ -681,6 +726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
     "near_dup_keep_quality": q_near_dup_keep_quality,
+    "pii_redaction": q_pii_redaction,
     "contamination": q_contamination,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -999,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
                       {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
                       ELSE {MIX_DEFAULT_RATE} END
         """,
+        "pii_redaction": _pii_oracle_sql(),
         "contamination": f"""
             WITH rawt AS (
               SELECT doc_id, {_toks} AS toks FROM documents

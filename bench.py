@@ -74,6 +74,7 @@ def main() -> None:
         "near_dup_groups",
         "near_dup_keep_quality",
         "contamination",
+        "pii_redaction",
         "incremental_exact_dedup",
         "incremental_minhash",
         "token_counts_bpe",
