@@ -31,13 +31,22 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--flat", action="store_true")
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--batches", type=int, default=4)
+    p.add_argument(
+        "--analysis",
+        default="tokenize_metrics",
+        choices=["tokenize_metrics", "near_dedup", "pii_redact",
+                 "exact_dedup", "repetition_stats"],
+        help="tokenize_metrics runs the lineage-checkpointed span "
+        "pipeline; the others are flat-table batch analyses whose "
+        "output lands as parquet under --output",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     # spark-submit owns master/memory/executors; only app-level confs here
     spark = (
-        SparkSession.builder.appName("textalyzer-tokenize-metrics")
+        SparkSession.builder.appName(f"textalyzer-{args.analysis}")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .getOrCreate()
@@ -46,6 +55,39 @@ def main(argv: list[str] | None = None) -> None:
     from textalyzer_spark.operators.spans import process_spans_arrow
 
     docs = spark.read.parquet(args.input)
+
+    if args.analysis != "tokenize_metrics":
+        # flat-table batch analyses (input must be (doc_id, text))
+        if args.analysis == "near_dedup":
+            from textalyzer_spark.operators.near_dedup import near_dedup
+
+            out = near_dedup(docs, method="minhash")
+        elif args.analysis == "pii_redact":
+            from textalyzer_spark.operators.pii import redact_pii
+
+            out = redact_pii(docs)
+        elif args.analysis == "exact_dedup":
+            from textalyzer_spark.operators.dedup import exact_dedup
+
+            out = exact_dedup(docs)
+        else:
+            from textalyzer_spark.operators.quality import repetition_stats
+
+            out = repetition_stats(docs)
+        t0 = time.time()
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            json.dumps(
+                {
+                    "analysis": args.analysis,
+                    "rows_written": n,
+                    "wall_seconds": round(time.time() - t0, 1),
+                }
+            )
+        )
+        spark.stop()
+        return
     if args.flat:
         from textalyzer_spark.corpus import nested_from_flat
 
