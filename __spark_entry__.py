@@ -601,6 +601,19 @@ def _split_batches(spark: SparkSession, sf_dir: str):
     )
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus mixture report (doc + token mass shares,
+    unrounded count ratios) — what stratified_sample's rates are
+    tuned against."""
+    from textalyzer_spark.operators.quality import lang_id
+    from textalyzer_spark.operators.sampling import corpus_mixture
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    joined = docs.join(lang, "doc_id")
+    return corpus_mixture(joined, "pred_lang")
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub roundtrip (the extraction-family pattern): each doc
     gains a deterministic doc_id-derived contact footer (email + IPv4
@@ -727,6 +740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_groups": q_near_dup_groups,
     "near_dup_keep_quality": q_near_dup_keep_quality,
     "pii_redaction": q_pii_redaction,
+    "corpus_mixture": q_corpus_mixture,
     "contamination": q_contamination,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -1046,6 +1060,21 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {MIX_DEFAULT_RATE} END
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "corpus_mixture": f"""
+            WITH {_lang_ctes(_toks)}, per AS (
+              SELECT pred_lang AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+              FROM lang JOIN lt USING (doc_id)
+              GROUP BY 1
+            )
+            SELECT bucket, n_docs, n_tokens,
+                   n_docs / CAST((SELECT sum(n_docs) FROM per) AS DOUBLE)
+                     AS frac_docs,
+                   n_tokens / CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE)
+                     AS frac_tokens
+            FROM per
+        """,
         "contamination": f"""
             WITH rawt AS (
               SELECT doc_id, {_toks} AS toks FROM documents

@@ -67,6 +67,7 @@ def main() -> None:
         "lang_id",
         "repetition_stats",
         "stratified_sample",
+        "corpus_mixture",
         "fingerprint",
         "exact_dedup",
         "ngram_jaccard",

@@ -152,3 +152,21 @@ def test_stratified_sample_deterministic_and_rated(spark):
     e = {r["doc_id"] for r in hash_sample(df, 0.5, salt="s2").collect()}
     assert d != e
     assert abs(len(d) - 2000) < 5 * (4000 * 0.25) ** 0.5
+
+
+def test_corpus_mixture(spark):
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.sampling import corpus_mixture
+
+    df = spark.createDataFrame(
+        [(1, "en", "one two three"), (2, "en", "four five"),
+         (3, "de", "eins zwei drei vier fuenf")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["bucket"]: r for r in corpus_mixture(df, "lang").collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_tokens"] == 5
+    assert out["de"]["n_docs"] == 1 and out["de"]["n_tokens"] == 5
+    assert out["en"]["frac_docs"] == 2 / 3
+    assert out["en"]["frac_tokens"] == 0.5
+    assert abs(sum(r["frac_docs"] for r in out.values()) - 1.0) < 1e-12

@@ -46,6 +46,49 @@ def hash_sample(
     return df.filter(sample_u(id_col, salt) < F.lit(float(rate)))
 
 
+def corpus_mixture(
+    df: DataFrame,
+    bucket_col: str,
+    n_tokens_col: str | Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The mixture report a sampling run is tuned against: per
+    stratum, ``(bucket, n_docs, n_tokens, frac_docs, frac_tokens)``
+    — document and token mass shares (unrounded count ratios).
+
+    One hash aggregation on the stratum key plus a broadcast of the
+    1-row corpus totals; at 10^12 docs the stratum cardinality is
+    tiny (languages, domains, quality bands), so the shuffle carries
+    one row per (partition, stratum)."""
+    n_tok = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str)
+        else n_tokens_col
+    )
+    if n_tok is None:
+        from textalyzer_spark.functions.tokenize import tokens_col
+
+        n_tok = F.size(tokens_col("text"))
+    per = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") / F.col("_td").cast("double")).alias("frac_docs"),
+            (F.col("n_tokens") / F.col("_tt").cast("double")).alias(
+                "frac_tokens"
+            ),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     bucket_col: str,
