@@ -163,3 +163,59 @@ def test_minhash_signatures_from_shingles_stay_jvm_side(spark, docs):
     # two HashAggregates around the exchange = partial + final
     assert plan.count("HashAggregate") >= 2
     assert "md5" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, docs):
+    """The benchmark shingle set must broadcast (no SortMergeJoin
+    anywhere): benchmarks are thousands of docs, the corpus 10^12 —
+    a shuffle join on the corpus side is the scale bug this pins
+    against."""
+    from textalyzer_spark.operators.dedup import contamination_stats
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = (
+        contamination_stats(train, bench, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sampling_is_zero_exchange_scan_filter(spark, docs):
+    """hash_sample / the stratified keep decision is a pure function
+    of the row — the plan must contain NO Exchange at all, so the
+    sample composes with pushdown instead of forcing a shuffle."""
+    from textalyzer_spark.operators.sampling import hash_sample
+
+    plan = (
+        hash_sample(docs, 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_is_single_pass(spark, docs):
+    """Per-doc repetition signals never leave the row: zero Exchange
+    operators (one Arrow pass over the scan)."""
+    from textalyzer_spark.operators.quality import repetition_stats
+
+    plan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_is_codegen_projection(spark, docs):
+    """PII counting/masking is pure Catalyst regex codegen — no
+    python workers (no ArrowEvalPython/MapInPandas in the plan) and
+    no Exchange."""
+    from textalyzer_spark.operators.pii import redact_pii
+
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
