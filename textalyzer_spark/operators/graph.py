@@ -58,6 +58,11 @@ def connected_components(
 
     n_edges = edges.count()
     if n_edges <= driver_max_edges:
+        # the driver materializes ONLY edge-touched nodes (bounded by
+        # 2 x driver_max_edges); the corpus-sized singleton majority
+        # is labeled distributively by the left join below — a
+        # docs.collect() here would ship 10^12 ids to the driver even
+        # when the pair graph is tiny
         parent: dict = {}
 
         def find(x):
@@ -72,14 +77,21 @@ def connected_components(
             ra, rb = find(r["src"]), find(r["dst"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        rows = [(d["doc_id"], find(d["doc_id"])) for d in docs.collect()]
+        touched_rows = [(x, find(x)) for x in parent]
         spark = docs.sparkSession
         id_field = docs.schema["doc_id"]
-        out_schema = (
-            f"doc_id {id_field.dataType.simpleString()}, "
-            f"component {id_field.dataType.simpleString()}"
+        id_type = id_field.dataType.simpleString()
+        out_schema = f"doc_id {id_type}, component {id_type}"
+        touched = spark.createDataFrame(touched_rows, out_schema)
+        return (
+            docs.join(F.broadcast(touched), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                    "component"
+                ),
+            )
         )
-        return spark.createDataFrame(rows, out_schema)
 
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iters):
