@@ -696,6 +696,21 @@ def q_embedding_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup(emb, pairs=pairs, id_col="vec_id")
 
 
+def q_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot SimHash near-dup matches: the odd-id batch's
+    64-bit signatures combination-banded against the even-id
+    snapshot's simhash catalog (one int64 of state per catalog doc) —
+    the third incremental path beside exact and minhash."""
+    from textalyzer_spark.operators.incremental import (
+        incremental_simhash_pairs,
+        simhash_catalog,
+    )
+
+    old, new = _split_batches(spark, sf_dir)
+    cat = simhash_catalog(old).localCheckpoint()
+    return incremental_simhash_pairs(new, cat, max_hamming=6)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — the
     synthetic embeddings are near-uniform, max pairwise cosine ~0.51;
@@ -744,6 +759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
+    "incremental_simhash": q_incremental_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -782,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash": _o.incremental_minhash_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),
+        "incremental_simhash": _o.incremental_simhash_sql(max_hamming=6),
         "simhash_pairs": _o.simhash_pairs_sql(max_hamming=6),
         "winnow_pairs": _o.winnow_pairs_sql(
             k=8, window=4, min_shared=3, min_overlap=0.5, max_doc_freq=50

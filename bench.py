@@ -78,6 +78,7 @@ def main() -> None:
         "pii_redaction",
         "incremental_exact_dedup",
         "incremental_minhash",
+        "incremental_simhash",
         "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",

@@ -143,3 +143,19 @@ def test_contamination_stats_planted(spark):
     assert out[2]["contamination_frac"] == 0.0
     assert out[3]["n_kgrams"] == 0
     assert out[3]["contamination_frac"] is None
+
+
+def test_incremental_simhash_two_batches(spark):
+    b1, b2 = _batches(spark)
+    cat = inc.simhash_catalog(b1)
+    # short docs drift fast: a 1-token edit on a 10-token doc flips 9
+    # bits (each bit is a majority vote over only ~10 token hashes),
+    # so the fixture uses a wider radius than a real corpus would
+    out = inc.incremental_simhash_pairs(b2, cat, max_hamming=12).collect()
+    matches = {(r["doc_old"], r["doc_new"]): r["hamming"] for r in out}
+    # the exact dup matches its original at distance 0
+    assert matches[(1, 12)] == 0
+    # the near-dup (one trailing token removed) is within the radius
+    assert (2, 13) in matches and matches[(2, 13)] <= 12
+    # fresh content matches nothing
+    assert not any(new in (14, 15, 16) for (_, new) in matches)

@@ -212,6 +212,7 @@ MULTISCRIPT_QUERIES = [
     # all must hold on a Greek+Cyrillic+CJK corpus
     "token_counts_bpe", "repetition_stats", "stratified_sample",
     "near_dup_groups", "incremental_exact_dedup", "incremental_minhash",
+    "incremental_simhash",
     "contamination", "pii_redaction", "corpus_mixture",
     "duplicate_lines", "line_length", "line_display_width",
     # roundtrip extractions: the synthesize->extract templates must be

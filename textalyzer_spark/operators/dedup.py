@@ -473,6 +473,36 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.mapInPandas(run, f"doc_id {id_type}, simhash bigint")
 
 
+def _simhash_chunk_keys(sh: DataFrame, chunks: int) -> DataFrame:
+    """``(doc_id, simhash, combo, v1, v2)`` — the Manku combination-
+    banding key table from a ``(doc_id, simhash)`` table: 64 bits cut
+    into ``chunks`` chunks, one row per PAIR of chunk values (see the
+    bucket-degeneracy note in :func:`simhash_near_pairs`). Shared by
+    the single-corpus self-join and the incremental catalog join."""
+    from itertools import combinations
+
+    width = 64 // chunks
+    vals = [
+        F.shiftrightunsigned(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
+        .alias(f"v{i}")
+        for i in range(chunks)
+    ]
+    combos = list(combinations(range(chunks), 2))
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(vals[i].alias("v1"), vals[j].alias("v2"))
+                    for i, j in combos
+                ]
+            )
+        ).alias("combo", "cv"),
+    ).select("doc_id", "simhash", "combo", "cv.v1", "cv.v2")
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -497,31 +527,11 @@ def simhash_near_pairs(
     cheap next to a quadratic bucket.
     """
     chunks = max_hamming + 2
-    width = 64 // chunks
-    from itertools import combinations
 
     # the keyed table feeds both self-join sides; materialize the tiny
     # (doc_id, simhash) table so the python simhash stage runs once
     sh = simhash(df, id_col, text_col).localCheckpoint()
-    vals = [
-        F.shiftrightunsigned(F.col("simhash"), i * width)
-        .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
-        .alias(f"v{i}")
-        for i in range(chunks)
-    ]
-    combos = list(combinations(range(chunks), 2))
-    keyed = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(vals[i].alias("v1"), vals[j].alias("v2"))
-                    for i, j in combos
-                ]
-            )
-        ).alias("combo", "cv"),
-    ).select("doc_id", "simhash", "combo", "cv.v1", "cv.v2")
+    keyed = _simhash_chunk_keys(sh, chunks)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(

@@ -188,6 +188,62 @@ def incremental_minhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# simhash (64-bit signature catalog)
+# --------------------------------------------------------------------------
+
+
+def simhash_catalog(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, simhash bigint)`` snapshot catalog — ONE int64 per
+    document, the cheapest near-dup state a catalog can carry."""
+    from textalyzer_spark.operators.dedup import simhash
+
+    return simhash(df, id_col, text_col)
+
+
+def incremental_simhash_pairs(
+    new_df: DataFrame,
+    catalog: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot SimHash matches of the NEW batch against a
+    simhash catalog: ``(doc_old, doc_new, hamming)`` for Hamming
+    distance <= ``max_hamming`` — the Manku combination banding of
+    ``simhash_near_pairs`` applied between two tables instead of as a
+    self-join (recall-complete for the same reason: a <= d-diff pair
+    has >= 2 untouched chunks, so it collides on >= 1 chunk PAIR)."""
+    from textalyzer_spark.operators.dedup import _simhash_chunk_keys, simhash
+
+    chunks = max_hamming + 2
+    new_sh = simhash(new_df, id_col, text_col).localCheckpoint()
+    ok = _simhash_chunk_keys(catalog, chunks)
+    nk = _simhash_chunk_keys(new_sh, chunks)
+    pairs = (
+        ok.alias("o")
+        .join(
+            nk.alias("n"),
+            (F.col("o.combo") == F.col("n.combo"))
+            & (F.col("o.v1") == F.col("n.v1"))
+            & (F.col("o.v2") == F.col("n.v2")),
+        )
+        .select(
+            F.col("o.doc_id").alias("doc_old"),
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.simhash").alias("ha"),
+            F.col("n.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.select(
+        "doc_old", "doc_new", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
 # snapshot persistence (lineage.py commit protocol)
 # --------------------------------------------------------------------------
 

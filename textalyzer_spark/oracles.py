@@ -441,30 +441,30 @@ def incremental_minhash_sql(
 # --------------------------------------------------------------------------
 
 
-def simhash_pairs_sql(max_hamming: int = 6) -> str:
-    """Brute-force twin of ``simhash_near_pairs``. The Spark side's
-    pigeonhole banding is recall-COMPLETE for Hamming <= max_hamming
-    (any such pair collides on >=1 exact chunk), so all-pairs over
-    the same simhash values defines the identical output set."""
+def simhash_values_ctes(prefix: str = "", source_where: str = "") -> str:
+    """The tokenize -> bit-vote -> pack chain as a composable CTE
+    block ending in ``{p}allsim(doc_id, simhash)`` — parameterized by
+    prefix + source filter so the incremental-catalog oracle can
+    instantiate it once per snapshot."""
     from textalyzer_spark.functions.alphabet import tok_lower_sql
 
-    return f"""
-        WITH toks AS (
+    p = prefix
+    return f"""{p}toks AS (
           SELECT doc_id, {tok_lower_sql('w')} AS w
           FROM (
             SELECT doc_id,
                    unnest(regexp_extract_all(text, '{alpha_token_regex()}')) AS w
-            FROM documents
+            FROM documents {source_where}
           )
-        ), bits AS (
+        ), {p}bits AS (
           -- per (doc, bit j): sum over ALL tokens of +/-1 on bit j of
           -- the token's md5-LE8 hash (multiplicity preserved)
           SELECT doc_id, j,
                  sum(CASE WHEN (md5_number_upper(w) >> j) & 1 = 1
                           THEN 1 ELSE -1 END) AS s
-          FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j)
+          FROM {p}toks CROSS JOIN (SELECT unnest(range(64)) AS j)
           GROUP BY doc_id, j
-        ), sims AS (
+        ), {p}sims AS (
           -- bit j set iff s > 0 (strict); bit 63 is the sign bit of
           -- the engine's int64 representation
           SELECT doc_id,
@@ -472,16 +472,46 @@ def simhash_pairs_sql(max_hamming: int = 6) -> str:
                           WHEN j = 63 THEN -9223372036854775808
                           ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT)
                    AS simhash
-          FROM bits GROUP BY doc_id
-        ), allsim AS (
+          FROM {p}bits GROUP BY doc_id
+        ), {p}allsim AS (
           -- zero-token docs get simhash 0, like the engine
           SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
-          FROM documents d LEFT JOIN sims s USING (doc_id)
-        )
+          FROM (SELECT doc_id FROM documents {source_where}) d
+          LEFT JOIN {p}sims s USING (doc_id)
+        )"""
+
+
+def simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """Brute-force twin of ``simhash_near_pairs``. The Spark side's
+    pigeonhole banding is recall-COMPLETE for Hamming <= max_hamming
+    (any such pair collides on >=1 exact chunk), so all-pairs over
+    the same simhash values defines the identical output set."""
+    return f"""
+        WITH {simhash_values_ctes()}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def incremental_simhash_sql(
+    max_hamming: int = 6,
+    old_where: str = "WHERE doc_id % 2 = 0",
+    new_where: str = "WHERE doc_id % 2 = 1",
+) -> str:
+    """Twin of ``incremental_simhash_pairs``: the simhash value chain
+    instantiated once per snapshot, brute cross-snapshot Hamming join
+    (the engine's combination banding is recall-complete, so the
+    output sets are identical by construction)."""
+    o = simhash_values_ctes("o_", old_where)
+    n = simhash_values_ctes("n_", new_where)
+    return f"""
+        WITH {o}, {n}
+        SELECT o.doc_id AS doc_old, n.doc_id AS doc_new,
+               CAST(bit_count(xor(o.simhash, n.simhash)) AS INTEGER) AS hamming
+        FROM o_allsim o JOIN n_allsim n
+          ON bit_count(xor(o.simhash, n.simhash)) <= {max_hamming}
     """
 
 
