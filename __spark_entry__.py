@@ -237,6 +237,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram novelty/commonality per doc (the
+    relational LM-coverage stand-in): occurrence fractions whose
+    bigram is corpus-unique vs seen in >= 10 docs."""
+    from textalyzer_spark.operators.quality import bigram_novelty
+
+    return bigram_novelty(_docs(spark, sf_dir), common_df=10)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (duplicate bi/tri-
     gram occurrence fractions, top-bigram coverage, duplicate-line
@@ -747,6 +756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "repetition_stats": q_repetition_stats,
+    "bigram_novelty": q_bigram_novelty,
     "stratified_sample": q_stratified_sample,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
@@ -1125,6 +1135,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS contamination_frac
             FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "bigram_novelty": f"""
+            WITH rawt AS (
+              SELECT doc_id, {_toks} AS tl FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(tl) AS w,
+                     generate_subscripts(tl, 1) AS pos
+              FROM rawt
+            ), occ AS (
+              SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS g
+              FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), occn AS (
+              SELECT doc_id, g FROM occ WHERE g IS NOT NULL
+            ), dfreq AS (
+              SELECT g, count(DISTINCT doc_id) AS df FROM occn GROUP BY g
+            ), per AS (
+              SELECT o.doc_id,
+                     count(*) AS n_bigrams,
+                     sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS novel,
+                     sum(CASE WHEN f.df >= 10 THEN 1 ELSE 0 END) AS common
+              FROM occn o JOIN dfreq f USING (g)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN p.n_bigrams > 0
+                        THEN p.novel / CAST(p.n_bigrams AS DOUBLE) END
+                     AS novel_frac,
+                   CASE WHEN p.n_bigrams > 0
+                        THEN p.common / CAST(p.n_bigrams AS DOUBLE) END
+                     AS common_frac
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per p USING (doc_id)
         """,
         "repetition_stats": f"""
             WITH rawt AS (

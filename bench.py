@@ -66,6 +66,7 @@ def main() -> None:
         "quality_score",
         "lang_id",
         "repetition_stats",
+        "bigram_novelty",
         "stratified_sample",
         "corpus_mixture",
         "fingerprint",

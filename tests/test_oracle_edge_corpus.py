@@ -210,7 +210,7 @@ MULTISCRIPT_QUERIES = [
     # round 5: whole-text lowering (BPE), per-doc repetition signals,
     # lang-bucketed sampling, and the near-dup cluster resolution —
     # all must hold on a Greek+Cyrillic+CJK corpus
-    "token_counts_bpe", "repetition_stats", "stratified_sample",
+    "token_counts_bpe", "repetition_stats", "bigram_novelty", "stratified_sample",
     "near_dup_groups", "incremental_exact_dedup", "incremental_minhash",
     "incremental_simhash",
     "contamination", "pii_redaction", "corpus_mixture",

@@ -170,3 +170,27 @@ def test_corpus_mixture(spark):
     assert out["en"]["frac_docs"] == 2 / 3
     assert out["en"]["frac_tokens"] == 0.5
     assert abs(sum(r["frac_docs"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_bigram_novelty_planted(spark):
+    from textalyzer_spark.operators.quality import bigram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),       # bigrams: 'a b' (shared), 'b c' (shared)
+            (2, "a b c d"),     # 'a b', 'b c' shared; 'c d' unique
+            (3, "x"),           # no bigrams
+            (4, "q r q r"),     # 'q r','r q','q r' all unique to doc 4
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_novelty(df, common_df=2).collect()}
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["novel_frac"] == 0.0
+    assert out[1]["common_frac"] == 1.0       # both bigrams in 2 docs
+    assert out[2]["n_bigrams"] == 3
+    assert out[2]["novel_frac"] == 1 / 3      # only 'c d'
+    assert out[3]["n_bigrams"] == 0 and out[3]["novel_frac"] is None
+    # doc-frequency (distinct docs), not occurrence count: doc 4's
+    # thrice-occurring bigrams still have df == 1 -> fully novel
+    assert out[4]["novel_frac"] == 1.0 and out[4]["common_frac"] == 0.0

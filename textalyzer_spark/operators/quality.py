@@ -223,6 +223,68 @@ def repetition_stats(
     )
 
 
+def bigram_novelty(
+    df: DataFrame,
+    common_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram novelty/coverage per document — the
+    relational stand-in for LM-based diversity scoring (templated or
+    boilerplate text scores low novelty, high commonality):
+
+    ``(doc_id, n_bigrams, novel_frac, common_frac)``
+
+    * ``novel_frac`` — fraction of the doc's bigram OCCURRENCES whose
+      bigram appears in no other document (corpus doc-freq == 1);
+    * ``common_frac`` — fraction whose bigram appears in >=
+      ``common_df`` documents.
+
+    Fractions are unrounded doubles of integer counts. Scale shape:
+    one hash shuffle on the bigram key for the corpus doc-frequency
+    table (partial aggregation applies), one equi-join back to the
+    occurrence stream, one groupBy doc_id — all linear; no driver
+    materialization anywhere."""
+    from textalyzer_spark.operators.shingles import doc_shingles
+
+    occ = doc_shingles(df, 2, id_col, text_col)
+    # the occurrence table feeds the doc-frequency agg AND the join
+    # side — materialize once (multi-consumer fan-out across one
+    # action would be ReusedExchange'd, but the two consumers here
+    # have different shuffles; measured either way it is the python
+    # shingle stage we must not run twice)
+    occ = occ.localCheckpoint()
+    dfreq = occ.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    per_doc = (
+        occ.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("_df") == 1).cast("bigint")).alias("_novel"),
+            F.sum((F.col("_df") >= common_df).cast("bigint")).alias(
+                "_common"
+            ),
+        )
+    )
+    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+            "n_bigrams"
+        ),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("_novel") / F.col("n_bigrams").cast("double"),
+        ).alias("novel_frac"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("_common") / F.col("n_bigrams").cast("double"),
+        ).alias("common_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Content fingerprint over whitespace-normalized lowercased text:
     ``(doc_id, fingerprint string)`` (md5 hex). The normalization makes
