@@ -154,13 +154,18 @@ def _pii_oracle_sql() -> str:
         masked = f"regexp_replace({masked}, '{rx}', '{mask}', 'g')"
     return f"""
             WITH pdoc AS (
+              -- ((x % m) + m) % m == Spark F.pmod: DuckDB % is
+              -- sign-preserving, pmod is non-negative — the footers
+              -- must agree even for negative doc_ids (ADVICE r5)
               SELECT doc_id,
                      text || ' contact user' || CAST(doc_id AS VARCHAR)
                           || '@example.com from 10.0.'
-                          || CAST(doc_id % 256 AS VARCHAR) || '.'
-                          || CAST(doc_id % 100 AS VARCHAR)
+                          || CAST(((doc_id % 256) + 256) % 256 AS VARCHAR)
+                          || '.'
+                          || CAST(((doc_id % 100) + 100) % 100 AS VARCHAR)
                           || ' tel +1 (555) 123-4'
-                          || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') AS t
+                          || lpad(CAST(((doc_id % 100) + 100) % 100
+                                       AS VARCHAR), 3, '0') AS t
               FROM documents
             )
             SELECT doc_id,
@@ -443,12 +448,16 @@ def q_duplicate_block_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _line_structured_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-structured corpus synthesized from the flat table
-    (newline every 8 tokens) — shared by the duplication queries."""
+    (newline every 8 tokens) — shared by the duplication queries. The
+    token/gap classes are the pinned cross-engine explicit-ASCII ones
+    (Java vs RE2 ``\\s`` differ on \\x0B), so the oracle's identical
+    pattern text synthesizes identical lines."""
+    from textalyzer_spark.functions.alphabet import NON_WS_CLASS, WS_SPLIT
+
+    pat = f"(({NON_WS_CLASS}+{WS_SPLIT}){{7}}{NON_WS_CLASS}+){WS_SPLIT}"
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.regexp_replace(F.col("text"), r"((\S+\s+){7}\S+)\s+", "$1\n").alias(
-            "text"
-        ),
+        F.regexp_replace(F.col("text"), pat, "$1\n").alias("text"),
     )
 
 
@@ -875,8 +884,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": r"""
             SELECT doc_id,
-              CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                   t -> t <> '')) AS INTEGER) AS n_ws_tokens,
+              CAST(len(list_filter(
+                    string_split_regex(lower(text), '[ \t\n\r\f\x0b]+'),
+                    t -> t <> '')) AS INTEGER) AS n_ws_tokens,
               CAST(len(regexp_extract_all(lower(text),
                    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS INTEGER) AS n_bpe_tokens,
               CASE WHEN len(regexp_extract_all(lower(text),
@@ -1221,7 +1231,8 @@ def oracle_sql() -> dict[str, str]:
             -- engine fingerprints F.lower(text), JDK context rules)
             SELECT doc_id,
                    md5(trim(regexp_replace({_a.text_lower_sql('text')},
-                                           '\s+', ' ', 'g'))) AS fingerprint
+                                           '[ \t\n\r\f\x0b]+', ' ',
+                                           'g'))) AS fingerprint
             FROM documents
         """,
         "exact_dedup": """

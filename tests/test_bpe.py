@@ -18,7 +18,7 @@ def _brute_train(hist, n_merges):
     for _ in range(n_merges):
         stats: dict = {}
         for w, s in syms.items():
-            parts = s.split()
+            parts = [p for p in s.split(" ") if p]  # literal-space split
             for i in range(len(parts) - 1):
                 p = (parts[i], parts[i + 1])
                 stats[p] = stats.get(p, 0) + cnt[w]
@@ -52,6 +52,23 @@ def test_alternating_overlap_pair_rechosen():
     got = bpe_train_from_histogram(hist, 3)
     assert got == _brute_train(hist, 3)
     assert got[0] == ("a", "b") and got[1] == ("a", "b")
+
+
+def test_nbsp_symbol_no_phantom_pairs():
+    """A word with embedded NBSP (not split by the pinned WS class)
+    must train normally: the old bare .split() dropped the NBSP
+    symbol from the pair list, creating a phantom pair that was
+    re-chosen every remaining rank (round-6 whitespace fix)."""
+    hist = [("nbsp\xa0joined", 2), ("plain", 1), ("words", 1)]
+    merges = bpe_train_from_histogram(hist, 60)
+    assert merges == _brute_train(hist, 60)
+    # no pair may repeat more times than replace-all semantics allow;
+    # the phantom showed up as an unbounded identical-tail run
+    tail = merges[-5:]
+    assert not (len(set(tail)) == 1 and len(merges) == 60)
+    # full merge: every trained word collapses to one token
+    assert bpe_apply("nbsp\xa0joined", merges) == ["nbsp\xa0joined"]
+    assert bpe_apply("plain", merges) == ["plain"]
 
 
 def test_incremental_equals_brute_recount_randomized():

@@ -239,6 +239,57 @@ def test_multiscript_gate_mirror(spark, multiscript_sf_dir, name):
     _compare(spark, multiscript_sf_dir, name)
 
 
+# exactly the codepoints where Java \s ([ \t\n\x0B\f\r]), RE2 \s
+# ([\t\n\f\r ]) and Python unicode \s (adds NBSP, \x1c-\x1f, U+2007…)
+# DISAGREE — the ADVICE-r5 three-way BPE divergence. Under the pinned
+# alphabet.WS_SPLIT class all engines split on \x0B/\f and keep
+# NBSP/\x1c/U+2007 inside tokens.
+WS_EDGE_DOCS = [
+    (1, "plain words only"),
+    (2, "vert\x0btab split run"),      # \x0B: Java-yes / RE2-no
+    (3, "nbsp\xa0joined pair"),        # NBSP: Python-yes / Java+RE2-no
+    (4, "form\ffeed and\x1cfilesep"),  # \f all-yes; \x1c Python-only
+    (5, "figure space held"),     # U+2007: Python-yes
+    (6, " mix \t tabs\nnew\r\nlines \x0b\xa0 end "),
+]
+
+WS_QUERIES = ["token_counts", "token_counts_bpe", "fingerprint"]
+
+
+@pytest.fixture(scope="module")
+def ws_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ws_sf")
+    spark.createDataFrame(
+        WS_EDGE_DOCS, "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", WS_QUERIES)
+def test_whitespace_class_gate_mirror(spark, ws_sf_dir, name):
+    """Every whitespace-splitting gate query agrees cross-engine on
+    the divergent-\\s corpus (ADVICE r5: the pinned WS_SPLIT class
+    replaces Java/Python/RE2 \\s in engine AND oracle)."""
+    _compare(spark, ws_sf_dir, name)
+
+
+def test_ws_class_splits_as_pinned(spark, ws_sf_dir):
+    """The pinned class's semantics, asserted absolutely (not just
+    cross-engine-equal): \\x0B and \\f split; NBSP, \\x1c and U+2007
+    do not."""
+    import __spark_entry__ as em
+
+    rows = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in em.queries()["token_counts"](spark, ws_sf_dir).collect()
+    }
+    assert rows[2] == 4          # vert | tab | split | run
+    assert rows[3] == 2          # nbsp\xa0joined | pair
+    assert rows[4] == 3          # form | feed | and\x1cfilesep
+    assert rows[5] == 2          # figure space | held
+    assert rows[6] == 5          # mix tabs new lines end
+
+
 def _fuzz_docs(n_docs: int = 60, seed: int = 20260817):
     """Deterministic randomized corpus over the ENTIRE verified range
     — which since round 5 includes the formerly-excluded territory:

@@ -50,8 +50,23 @@ from textalyzer_spark.functions._unicode_tables import (
     SIGMA_IGNORABLE_RANGES,
 )
 
+#: Cross-engine whitespace class (ADVICE r5): Java ``\s`` is
+#: ``[ \t\n\x0B\f\r]``, RE2 ``\s`` is ``[\t\n\f\r ]`` (no \x0B), and
+#: Python unicode ``\s`` adds NBSP/\x1c-\x1f/unicode spaces — three
+#: different splits for the "same" pattern. Every whitespace-splitting
+#: operator with an oracle twin pins THIS explicit ASCII class instead
+#: (one token class on the Catalyst, Arrow and DuckDB paths alike);
+#: the escapes parse identically in Java regex, RE2 and Python re.
+WS_CLASS = r"[ \t\n\r\f\x0b]"
+WS_SPLIT = WS_CLASS + "+"
+#: its complement, replacing ``\S`` in cross-engine patterns
+NON_WS_CLASS = r"[^ \t\n\r\f\x0b]"
+
 __all__ = [
     "ALPHA_RANGES",
+    "NON_WS_CLASS",
+    "WS_CLASS",
+    "WS_SPLIT",
     "ORACLE_LOWER_DIVERGENT",
     "ORACLE_LOWER_OVERRIDES",
     "jvm_lower",

@@ -41,16 +41,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from textalyzer_spark.functions.alphabet import WS_SPLIT
+
 
 def _word_histogram(
     df: DataFrame, text_col: str, max_vocab: int | None
 ) -> DataFrame:
     """``(w, cnt)`` lowercased whitespace-token frequencies, capped to
     the ``max_vocab`` most frequent (tie -> lexicographically first) —
-    a deterministic top-N so the oracle can replay the cap."""
+    a deterministic top-N so the oracle can replay the cap. The split
+    class is the pinned cross-engine ``alphabet.WS_SPLIT`` — the SAME
+    class the counting pass and the oracle use (Java/Python/RE2 ``\\s``
+    all disagree on \\x0B and NBSP; ADVICE r5)."""
     words = (
         df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+            F.explode(F.split(F.lower(F.col(text_col)), WS_SPLIT)).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -111,7 +116,14 @@ def bpe_train_from_histogram(
     where: defaultdict = defaultdict(set)  # pair -> words (superset)
 
     def word_pairs(s: str):
-        parts = s.split()
+        # split on the LITERAL separator space, never bare .split():
+        # unicode .split() also breaks on \xa0/ , so a symbol
+        # containing NBSP would vanish from the pair list and spawn a
+        # phantom pair whose stats never decrease (it would then be
+        # re-chosen every remaining rank). DuckDB's string_split(s,
+        # ' ') is single-char too — this is the same pinned-class
+        # rule as WS_SPLIT, one layer down.
+        parts = [p for p in s.split(" ") if p]
         return [(parts[i], parts[i + 1]) for i in range(len(parts) - 1)]
 
     for w, c in hist:
@@ -158,7 +170,9 @@ def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
         pat = f" {a} {b} "
         if pat in s:
             s = s.replace(pat, f" {a}{b} ")
-    return s.split()
+    # literal-space split (see word_pairs): a symbol may CONTAIN
+    # unicode whitespace (NBSP inside a word) and must stay one token
+    return [p for p in s.split(" ") if p]
 
 
 def bpe_token_counts(
@@ -178,7 +192,7 @@ def bpe_token_counts(
 
     from textalyzer_spark.functions.alphabet import jvm_lower as _jl
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(WS_SPLIT)
     mg = list(merges)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

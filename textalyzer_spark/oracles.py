@@ -299,8 +299,9 @@ def bpe_token_counts_sql(
         ), dw AS (
           SELECT doc_id, w, count(*) AS k FROM (
             SELECT doc_id,
-                   unnest(list_filter(string_split_regex(lt, '\s+'),
-                                      t -> t <> '')) AS w
+                   unnest(list_filter(
+                       string_split_regex(lt, '[ \t\n\r\f\x0b]+'),
+                       t -> t <> '')) AS w
             FROM lowdocs
           ) GROUP BY 1, 2
         ), vocab AS (
@@ -384,8 +385,13 @@ def incremental_exact_dedup_sql(
           GROUP BY 1
         )
         SELECT doc_id, fingerprint
-        FROM grouped
-        WHERE fingerprint NOT IN (SELECT fingerprint FROM cat)
+        FROM grouped g
+        -- ANTI JOIN, not NOT IN: a NULL catalog fingerprint (NULL
+        -- text doc) must not blank the whole result — the engine's
+        -- left_anti join is null-safe (ADVICE r5)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM cat c WHERE c.fingerprint = g.fingerprint
+        )
     """
 
 
@@ -781,7 +787,9 @@ def _dup_candidates_ctes(
     docs_cte = (
         r"""docs AS (
           SELECT doc_id,
-                 regexp_replace(text, '((\S+\s+){7}\S+)\s+',
+                 regexp_replace(text,
+                                '(([^ \t\n\r\f\x0b]+[ \t\n\r\f\x0b]+){7}'
+                                || '[^ \t\n\r\f\x0b]+)[ \t\n\r\f\x0b]+',
                                 '\1' || chr(10), 'g') AS text
           FROM documents
         )"""

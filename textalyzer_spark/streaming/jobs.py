@@ -140,6 +140,13 @@ def streaming_near_dup(
       climbing ``n_rejected`` (admit-first) measures exactly how much
       of the stream the bucket has gone blind to. Run it as a second
       query over the same input with its own checkpoint.
+
+    Checkpoint compatibility: round 5 grew the state schema from
+    (ids, sigs) to six fields (counters appended). The processor
+    tolerates a legacy 2-field state tuple (counters restart at 0),
+    but if Spark's state-store schema check itself rejects the old
+    checkpoint, discard the checkpoint directory and re-drain — the
+    input is replayable by construction (file source).
     """
     if eviction not in ("recency", "admit-first"):
         raise ValueError(f"unknown eviction {eviction!r}")
@@ -179,7 +186,19 @@ def streaming_near_dup(
         # in-batch docs that were ADMITTED (first cap-S of the batch),
         # with argmax ties resolved in admission order (state first).
         if state.exists:
-            ids, sigs_flat, n_seen, n_evicted, n_rejected, n_hits = state.get
+            # tolerate a pre-metrics 2-field checkpoint (ids, sigs):
+            # counters default to 0 rather than crashing the restart
+            # (ADVICE r5; NOTE Spark's state-schema compat check may
+            # still reject the old schema — then the checkpoint must
+            # be discarded, see the docstring)
+            got = tuple(state.get)
+            if len(got) >= 6:
+                ids, sigs_flat, n_seen, n_evicted, n_rejected, n_hits = (
+                    got[:6]
+                )
+            else:
+                ids, sigs_flat = got[0], got[1]
+                n_seen = n_evicted = n_rejected = n_hits = 0
             known_ids = list(ids)
             known = (
                 np.asarray(sigs_flat, dtype=np.int64).reshape(
