@@ -58,11 +58,12 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _quality_ctes(toks_expr: str) -> str:
+def _quality_ctes(toks_expr: str, source: str = "documents") -> str:
     """The quality_score oracle pipeline as a composable CTE chain
     ending in ``qscore(doc_id, quality_score, n_tokens,
     type_token_ratio, stopword_ratio, alpha_ratio)`` — shared by the
-    quality_score gate and the near_dup_keep_quality keep rule."""
+    quality_score gate, the near_dup_keep_quality keep rule, and
+    (``source=``) the end-to-end pipeline's quality filter stage."""
     from textalyzer_spark import oracles as _o
 
     neg = _o.alpha_strip_regex()
@@ -72,7 +73,7 @@ def _quality_ctes(toks_expr: str) -> str:
                      {toks_expr} AS toks,
                      CAST(length(regexp_replace(text, '{neg}', '', 'g')) AS BIGINT)
                        AS n_alpha_chars
-              FROM documents
+              FROM {source}
             ), qs AS (
               SELECT doc_id,
                 CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -101,12 +102,13 @@ def _quality_ctes(toks_expr: str) -> str:
             )"""
 
 
-def _lang_ctes(toks_expr: str) -> str:
+def _lang_ctes(toks_expr: str, source: str = "documents") -> str:
     """The lang_id oracle as a composable CTE chain ending in
     ``lang(doc_id, pred_lang, lang_score)`` — shared by the lang_id
-    gate and the stratified-sampling bucket join."""
+    gate, the stratified-sampling bucket join, and (``source=``) the
+    end-to-end pipeline's sampling stage."""
     return f"""lt AS (
-              SELECT doc_id, {toks_expr} AS toks FROM documents
+              SELECT doc_id, {toks_expr} AS toks FROM {source}
             ), ls AS (
               SELECT doc_id,
                 len(list_filter(toks, w -> list_contains(
@@ -137,23 +139,15 @@ def _lang_ctes(toks_expr: str) -> str:
 MIX_RATES = {"en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
 MIX_DEFAULT_RATE = 0.2
 MIX_SALT = "mix-v1"
+#: the end-to-end pipeline gate's quality-filter threshold (drops
+#: ~10% of the sf corpus — a real filter, not a pass-through)
+PIPELINE_QMIN = 0.7
 
 
-def _pii_oracle_sql() -> str:
-    """Twin of q_pii_redaction: the synthesize_pii footer rebuilt in
-    SQL, the same pinned patterns (Java ∩ RE2 subset) counted on the
-    raw text and masked in the same order, md5 of the masked text."""
-    from textalyzer_spark.operators.pii import PII_PATTERNS
-
-    counts = ",\n                   ".join(
-        f"CAST(len(regexp_extract_all(t, '{rx}')) AS INTEGER) AS n_{name}"
-        for name, rx, _ in PII_PATTERNS
-    )
-    masked = "t"
-    for _, rx, mask in PII_PATTERNS:
-        masked = f"regexp_replace({masked}, '{rx}', '{mask}', 'g')"
-    return f"""
-            WITH pdoc AS (
+def _pii_pdoc_cte(source: str = "documents") -> str:
+    """``pdoc(doc_id, t)`` CTE — the synthesize_pii footer rebuilt in
+    SQL (shared by the pii_redaction gate and the pipeline oracle)."""
+    return f"""pdoc AS (
               -- ((x % m) + m) % m == Spark F.pmod: DuckDB % is
               -- sign-preserving, pmod is non-negative — the footers
               -- must agree even for negative doc_ids (ADVICE r5)
@@ -166,11 +160,36 @@ def _pii_oracle_sql() -> str:
                           || ' tel +1 (555) 123-4'
                           || lpad(CAST(((doc_id % 100) + 100) % 100
                                        AS VARCHAR), 3, '0') AS t
-              FROM documents
-            )
+              FROM {source}
+            )"""
+
+
+def _pii_masked_expr(col: str = "t") -> str:
+    """The redaction regexp_replace chain over ``col``, masks applied
+    in the engine's pinned pattern order."""
+    from textalyzer_spark.operators.pii import PII_PATTERNS
+
+    masked = col
+    for _, rx, mask in PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{rx}', '{mask}', 'g')"
+    return masked
+
+
+def _pii_oracle_sql() -> str:
+    """Twin of q_pii_redaction: the synthesize_pii footer rebuilt in
+    SQL, the same pinned patterns (Java ∩ RE2 subset) counted on the
+    raw text and masked in the same order, md5 of the masked text."""
+    from textalyzer_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS INTEGER) AS n_{name}"
+        for name, rx, _ in PII_PATTERNS
+    )
+    return f"""
+            WITH {_pii_pdoc_cte()}
             SELECT doc_id,
                    {counts},
-                   md5({masked}) AS clean_md5
+                   md5({_pii_masked_expr()}) AS clean_md5
             FROM pdoc
         """
 
@@ -646,6 +665,68 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(synthesize_pii(_docs(spark, sf_dir)))
 
 
+def q_pipeline_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as ONE gate query — the
+    artifact a user actually deploys (reference analog: the ``run()``
+    scan→analyze→filter→present chain, textalyzer/src/lib.rs:57-151):
+
+      synthesize PII footers (the pii_redaction fixture stage)
+      → quality filter (quality_score >= PIPELINE_QMIN)
+      → PII redaction (clean text from here on)
+      → exact dedup (keep min doc_id per md5 of clean text)
+      → near-dup cluster resolution (minhash, keep min id)
+      → language-stratified deterministic sample (MIX_RATES)
+
+    Output: the kept ``(doc_id, clean_md5, u)`` — clean_md5 proves
+    the survivor's exact redacted content, u the sampling variate.
+    The DuckDB oracle composes the five stage oracles as CTEs over
+    the same derived corpus at each step.
+
+    Scale shape: every stage is the already-audited operator —
+    scan-filter stages (quality, redaction, sampling) add zero
+    Exchanges; the dedup stages reuse the bounded minhash/component
+    machinery. The chain adds no new shuffle beyond its stages."""
+    from textalyzer_spark.operators.near_dedup import near_dedup
+    from textalyzer_spark.operators.pii import redact_pii, synthesize_pii
+    from textalyzer_spark.operators.quality import lang_id, quality_score
+    from textalyzer_spark.operators.sampling import stratified_sample
+
+    pdoc = synthesize_pii(_docs(spark, sf_dir))
+    qkeep = (
+        quality_score(pdoc)
+        .filter(F.col("quality_score") >= PIPELINE_QMIN)
+        .select("doc_id")
+    )
+    gated = pdoc.join(qkeep, "doc_id")
+    clean = redact_pii(gated).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    keep_exact = (
+        clean.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = clean.join(keep_exact, "doc_id")
+    # multi-ACTION pipeline: near_dedup fires edge/doc actions and
+    # the final select re-joins deduped — without the barrier the
+    # quality+redact+dedup chain re-executes per action (A/B at
+    # sf0.1: 9.1/9.4 s with vs 13.6/18.9 s without)
+    deduped = deduped.localCheckpoint()
+    nd = near_dedup(
+        deduped, method="minhash", k=5, num_hashes=32, bands=8,
+        threshold=0.1,
+    )
+    kept = deduped.join(nd.filter("keep").select("doc_id"), "doc_id")
+    lang = lang_id(kept).select("doc_id", "pred_lang")
+    samp = stratified_sample(
+        kept.join(lang, "doc_id"), "pred_lang", MIX_RATES,
+        MIX_DEFAULT_RATE, salt=MIX_SALT,
+    )
+    return samp.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "u"
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection (decontamination step):
     docs with doc_id % 97 == 0 play the held-out benchmark; every
@@ -774,6 +855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_groups": q_near_dup_groups,
     "near_dup_keep_quality": q_near_dup_keep_quality,
     "pii_redaction": q_pii_redaction,
+    "pipeline_clean_sample": q_pipeline_clean_sample,
     "corpus_mixture": q_corpus_mixture,
     "contamination": q_contamination,
     "incremental_exact_dedup": q_incremental_exact_dedup,
@@ -1097,6 +1179,41 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {MIX_DEFAULT_RATE} END
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "pipeline_clean_sample": f"""
+            WITH RECURSIVE {_pii_pdoc_cte()}, p0 AS (
+              SELECT doc_id, t AS text FROM pdoc
+            ), {_quality_ctes(_toks, source="p0")}, gated AS (
+              SELECT p.doc_id, p.text
+              FROM p0 p JOIN qscore q USING (doc_id)
+              WHERE q.quality_score >= {PIPELINE_QMIN}
+            ), clean AS (
+              SELECT doc_id, {_pii_masked_expr("text")} AS text FROM gated
+            ), keepx AS (
+              SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+            ), corpus AS (
+              SELECT c.doc_id, c.text FROM clean c JOIN keepx USING (doc_id)
+            ), {_o.minhash_pairs_ctes(
+                k=5, num_hashes=32, bands=8, threshold=0.1, seed=42,
+                source="corpus",
+            )}, {_o.connected_components_ctes(
+                docs_select="SELECT doc_id FROM corpus"
+            )}, surv AS (
+              SELECT doc_id FROM cc_labels WHERE doc_id = component
+            ), sdocs AS (
+              SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)
+            ), {_lang_ctes(_toks, source="sdocs")}
+            SELECT s.doc_id, md5(s.text) AS clean_md5,
+                   CAST(md5_number_upper('{MIX_SALT}'
+                        || CAST(s.doc_id AS VARCHAR)) AS DOUBLE)
+                     / 18446744073709551616.0 AS u
+            FROM sdocs s JOIN lang USING (doc_id)
+            WHERE CAST(md5_number_upper('{MIX_SALT}'
+                       || CAST(s.doc_id AS VARCHAR)) AS DOUBLE)
+                    / 18446744073709551616.0
+                  < CASE pred_lang
+                      {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
+                      ELSE {MIX_DEFAULT_RATE} END
+        """,
         "corpus_mixture": f"""
             WITH {_lang_ctes(_toks)}, per AS (
               SELECT pred_lang AS bucket,

@@ -77,6 +77,7 @@ def main() -> None:
         "near_dup_keep_quality",
         "contamination",
         "pii_redaction",
+        "pipeline_clean_sample",
         "incremental_exact_dedup",
         "incremental_minhash",
         "incremental_simhash",

@@ -214,6 +214,8 @@ MULTISCRIPT_QUERIES = [
     "near_dup_groups", "incremental_exact_dedup", "incremental_minhash",
     "incremental_simhash",
     "contamination", "pii_redaction", "corpus_mixture",
+    # round 6: the end-to-end pipeline composition
+    "pipeline_clean_sample",
     "duplicate_lines", "line_length", "line_display_width",
     # roundtrip extractions: the synthesize->extract templates must be
     # invertible beyond latin-1 (UTF-8 PDF literals since round 4)

@@ -99,13 +99,16 @@ def minhash_sig_band_ctes(
     k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    source: str = "documents",
 ) -> str:
     """The tokenize -> shingle -> signature -> band-bucket chain as a
     composable CTE block (requires :func:`minhash_params_cte` named
     ``params`` alongside): emits ``{p}shn(doc_id, shingle)``,
     ``{p}sig(doc_id, i, h)`` and ``{p}bnd(doc_id, band, bucket)``.
     ``prefix`` + ``source_where`` let the incremental-dedup oracle
-    instantiate the chain once per corpus snapshot."""
+    instantiate the chain once per corpus snapshot; ``source`` lets
+    the end-to-end pipeline oracle run it over a DERIVED ``(doc_id,
+    text)`` CTE instead of the base table."""
     from textalyzer_spark.operators.dedup import _P
 
     p = prefix
@@ -118,7 +121,7 @@ def minhash_sig_band_ctes(
     rx = alpha_token_regex()
     toks_expr = toks_lower_sql(f"regexp_extract_all(text, '{rx}')")
     return f"""{p}rawt AS (
-          SELECT doc_id, {toks_expr} AS tl FROM documents {source_where}
+          SELECT doc_id, {toks_expr} AS tl FROM {source} {source_where}
         ), {p}toks AS (
           SELECT doc_id, unnest(tl) AS w,
                  generate_subscripts(tl, 1) AS pos
@@ -151,13 +154,17 @@ def minhash_pairs_ctes(
     threshold: float = 0.1,
     seed: int = 42,
     max_bucket_docs: int = 1000,
+    source: str = "documents",
 ) -> str:
     """The :func:`minhash_lsh_sql` pipeline as a composable CTE chain
     (no leading ``WITH``), terminating in ``mh_pairs(doc_a, doc_b,
     jaccard)`` — reused by the near-dup cluster-resolution oracles,
-    which chain connected components on top of the SAME pair SQL."""
+    which chain connected components on top of the SAME pair SQL, and
+    (``source=``) by the end-to-end pipeline oracle over its derived
+    cleaned corpus."""
     params = minhash_params_cte(num_hashes, seed)
-    sig_band = minhash_sig_band_ctes("", "", k, num_hashes, bands)
+    sig_band = minhash_sig_band_ctes("", "", k, num_hashes, bands,
+                                     source=source)
     return f"""{params}, {sig_band}, okb AS (
           -- mirrors the engine's max_bucket_docs mega-bucket guard
           SELECT band, bucket FROM bnd
