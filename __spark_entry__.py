@@ -776,6 +776,36 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot near-dup cluster MAINTENANCE (VERDICT r5 item
+    2): the even-id snapshot's component catalog (signatures + labels)
+    merged with the odd-id batch's intra + cross edges into ONE
+    labeling of the union corpus — a chain A~B (snapshot 1) + B~C
+    (snapshot 2) lands in one component. The DuckDB twin labels the
+    union corpus with the same hybrid edge semantics (exact intra
+    pairs per snapshot, signature-agreement cross pairs, recursive
+    min-label walk) in oracles.incremental_near_dup_groups_sql."""
+    from textalyzer_spark.operators.incremental import (
+        incremental_near_dup_components,
+        minhash_component_catalog,
+    )
+
+    old, new = _split_batches(spark, sf_dir)
+    # in production the catalog is READ from a snapshot; computed
+    # in-query it feeds band join + verify + label edges — barrier it
+    cat = minhash_component_catalog(
+        old, k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+    ).localCheckpoint()
+    labels = incremental_near_dup_components(
+        new, cat, k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+    )
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 def q_embedding_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution over the EMBEDDING near-dup pairs — the
     near_dedup(pairs=...) composition path under the gate: LSH pair
@@ -860,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
+    "incremental_near_dup_groups": q_incremental_near_dup_groups,
     "incremental_simhash": q_incremental_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
@@ -897,6 +928,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "incremental_exact_dedup": _o.incremental_exact_dedup_sql(),
         "incremental_minhash": _o.incremental_minhash_sql(
+            k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+        ),
+        "incremental_near_dup_groups": _o.incremental_near_dup_groups_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),
         "incremental_simhash": _o.incremental_simhash_sql(max_hamming=6),

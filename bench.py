@@ -81,6 +81,7 @@ def main() -> None:
         "incremental_exact_dedup",
         "incremental_minhash",
         "incremental_simhash",
+        "incremental_near_dup_groups",
         "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",

@@ -166,3 +166,45 @@ def test_incremental_simhash_two_batches(spark):
     assert (2, 13) in matches and matches[(2, 13)] <= 12
     # fresh content matches nothing
     assert not any(new in (14, 15, 16) for (_, new) in matches)
+
+
+def test_incremental_near_dup_component_maintenance(spark):
+    """VERDICT r5 item 2: a chain A~B (snapshot 1) + B~C (snapshot 2)
+    merges into ONE component across snapshots — B never appears in
+    the new batch, so the merge can only happen through the catalog's
+    carried-forward component label edge."""
+    # k=3 shingles: J(A,B)=0.8, J(B,C)=0.5, J(A,C)=1/3
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    B = A + " lambda mu"
+    C = "epsilon zeta eta theta iota kappa lambda mu nu xi"
+    snap1 = spark.createDataFrame(
+        [(1, A), (2, B), (30, "wholly unrelated text about volcano ash")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, C), (130, "another unrelated piece about tidal flats")],
+        "doc_id bigint, text string",
+    )
+    # bands=32 -> 2 rows/band: a J=0.5 pair collides w.p. ~1-0.75^32
+    # (the 4-row default would miss it ~36% of the time)
+    kw = dict(k=3, num_hashes=64, bands=32, threshold=0.35, seed=42)
+    cat = inc.minhash_component_catalog(snap1, **kw)
+    crows = {r["doc_id"]: r["component"] for r in cat.collect()}
+    assert crows == {1: 1, 2: 1, 30: 30}
+    # the cross edge set is exactly C~B (estimator over stored sigs);
+    # C~A stays below threshold — the merge NEEDS the label edge
+    cross = inc.incremental_minhash_pairs(
+        batch, cat.select("doc_id", "signature"), **kw
+    ).collect()
+    assert {(r["doc_old"], r["doc_new"]) for r in cross} == {(2, 101)}
+    labels = inc.incremental_near_dup_components(batch, cat, **kw)
+    lab = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert lab == {1: 1, 2: 1, 101: 1, 30: 30, 130: 130}
+    # catalog advance: old + new signatures, re-labeled to the merged
+    # component mins
+    nxt = inc.updated_minhash_component_catalog(
+        cat, batch, labels, k=3, num_hashes=64, seed=42
+    )
+    nrows = {r["doc_id"]: r["component"] for r in nxt.collect()}
+    assert nrows == lab
+    assert nxt.filter("signature IS NULL").count() == 0

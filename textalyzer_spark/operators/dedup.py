@@ -266,9 +266,13 @@ def minhash_lsh_pairs(
     max_bucket_docs: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified:
-    ``(doc_a, doc_b, jaccard)``.
+    ``(doc_a, doc_b, jaccard)``. ``shingles=`` accepts an ALREADY
+    MATERIALIZED distinct ``(doc_id, shingle)`` table so a caller
+    that also needs signatures (incremental component maintenance)
+    pays for one tokenize+shingle pass, not two.
 
     Candidate generation: signatures are cut into ``bands`` bands of
     ``num_hashes/bands`` rows; docs colliding in any band's bucket
@@ -293,7 +297,11 @@ def minhash_lsh_pairs(
     # and the exact-verify joins below. The previous shape ran the
     # python minhash stage AND the shingle materialization — two full
     # passes over every byte of the corpus.
-    sh = _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
+    sh = (
+        shingles
+        if shingles is not None
+        else _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
+    )
     sigs = _signatures_from_shingles(sh, num_hashes, seed)
     # bucket key = the band's signature values joined as a string —
     # NOT re-hashed (xxhash64 has no cross-engine twin, and the key is

@@ -131,11 +131,31 @@ def incremental_minhash_pairs(
     ingested data; survivors = new docs with no row here (anti-join),
     and their signatures append to the catalog for the next snapshot.
     """
-    rows = num_hashes // bands
     new_sigs = minhash_catalog(
         new_df, k, num_hashes, seed, id_col, text_col
     ).localCheckpoint()
-    cat_sigs = catalog
+    return _cross_pairs_from_sigs(
+        new_sigs, catalog, num_hashes, bands, threshold, max_bucket_docs
+    )
+
+
+def _cross_pairs_from_sigs(
+    new_sigs: DataFrame,
+    catalog: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket_docs: int | None,
+) -> DataFrame:
+    """The band-join + signature-agreement core of
+    :func:`incremental_minhash_pairs`, over ALREADY MATERIALIZED new
+    signatures — shared with the component-maintenance path so one
+    signature build feeds both intra and cross edges."""
+    rows = num_hashes // bands
+    # component catalogs carry NULL signatures for shingle-less docs
+    # (they can never match) — keep them out of the band join, where
+    # a NULL signature would band to the "" bucket and fan out
+    cat_sigs = catalog.filter(F.col("signature").isNotNull())
     ob = _band_buckets(cat_sigs, bands, rows)
     nb = _band_buckets(new_sigs, bands, rows)
     if max_bucket_docs is not None:
@@ -185,6 +205,155 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup component catalog maintenance (VERDICT r5 item 2)
+# --------------------------------------------------------------------------
+
+
+def minhash_component_catalog(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_docs: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, signature, component)`` snapshot catalog — the
+    minhash signature catalog PLUS the snapshot's near-dup component
+    labels, so cluster membership carries FORWARD across snapshots
+    (plain ``minhash_catalog`` forgets which old docs were near-dups
+    of each other; a doc chain A~B (snapshot 1) + B~C (snapshot 2)
+    could then never merge). Labels = connected components of the
+    exact-verified ``minhash_lsh_pairs`` graph (component = min
+    doc_id). Storage stays O(num_hashes + 1) ints per doc.
+
+    EVERY ingested doc gets a catalog row — a doc too short for a
+    single k-shingle has ``signature`` NULL (it can never near-match
+    anything) but still carries its singleton component: dropping it
+    would silently un-ingest it from every later snapshot."""
+    from textalyzer_spark.operators.dedup import minhash_lsh_pairs
+    from textalyzer_spark.operators.graph import connected_components
+
+    # ONE tokenize+shingle pass feeds both the stored signatures and
+    # the exact-verified pair chain
+    sh = _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
+    sigs = _signatures_from_shingles(sh, num_hashes, seed)
+    pairs = minhash_lsh_pairs(
+        df, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        seed=seed, max_bucket_docs=max_bucket_docs,
+        id_col=id_col, text_col=text_col, shingles=sh,
+    )
+    docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    labels = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        docs,
+    )
+    return labels.join(sigs, "doc_id", "left").select(
+        "doc_id", "signature", "component"
+    )
+
+
+def incremental_near_dup_components(
+    new_df: DataFrame,
+    catalog: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_docs: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot cluster MAINTENANCE: ``(doc_id, component)``
+    labels over catalog ∪ new batch, merging the new batch's near-dup
+    edges into the PRIOR components.
+
+    Three edge sets feed one union-find (graph.connected_components):
+
+    * the catalog's components collapsed to ``doc_id ~ component``
+      label edges — the prior snapshot's transitive closure, O(1)
+      rows per cataloged doc;
+    * the new batch's intra-batch pairs (exact-verified
+      ``minhash_lsh_pairs``, the same pass a fresh snapshot runs);
+    * cross batch-vs-catalog pairs from the STORED signatures
+      (``incremental_minhash_pairs`` — old text is never re-read;
+      the estimator is the only cross edge a signature catalog can
+      produce, by design).
+
+    Since prior component ids are themselves doc_ids, the min-label
+    components of this graph re-minimize to the true min doc_id of
+    each merged cluster — a snapshot-1 chain A~B merged by a
+    snapshot-2 B~C lands all three in one component.
+
+    Scale notes: label edges add one row per cataloged doc but only
+    edge-TOUCHED nodes reach the driver union-find (graph.py), and a
+    10^12-doc catalog's labels live in parquet next to its
+    signatures — the three edge scans are one pass each."""
+    from textalyzer_spark.operators.dedup import minhash_lsh_pairs
+    from textalyzer_spark.operators.graph import connected_components
+
+    old_edges = catalog.filter(
+        F.col("doc_id") != F.col("component")
+    ).select(F.col("doc_id").alias("src"), F.col("component").alias("dst"))
+    # ONE tokenize+shingle+signature pass over the new batch feeds
+    # both the intra-batch pair chain and the cross band join
+    sh_new = _distinct_shingles(new_df, k, id_col, text_col).localCheckpoint()
+    new_sigs = _signatures_from_shingles(
+        sh_new, num_hashes, seed
+    ).localCheckpoint()
+    intra = minhash_lsh_pairs(
+        new_df, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, seed=seed, max_bucket_docs=max_bucket_docs,
+        id_col=id_col, text_col=text_col, shingles=sh_new,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cross = _cross_pairs_from_sigs(
+        new_sigs, catalog.select("doc_id", "signature"),
+        num_hashes, bands, threshold, max_bucket_docs,
+    ).select(F.col("doc_old").alias("src"), F.col("doc_new").alias("dst"))
+    docs = (
+        catalog.select("doc_id")
+        .unionByName(new_df.select(F.col(id_col).alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(
+        old_edges.unionByName(intra).unionByName(cross), docs
+    )
+
+
+def updated_minhash_component_catalog(
+    catalog: DataFrame,
+    new_df: DataFrame,
+    labels: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The next ``(doc_id, signature, component)`` snapshot: old +
+    new signatures, re-labeled with the merged components from
+    :func:`incremental_near_dup_components` (labels covers the union
+    corpus, so prior entries whose cluster merged get the new min).
+    Shingle-less new docs keep NULL signatures, like the catalog
+    build."""
+    new_sigs = minhash_catalog(
+        new_df, k, num_hashes, seed, id_col, text_col
+    )
+    new_rows = (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(new_sigs, "doc_id", "left")
+    )
+    all_sigs = catalog.select("doc_id", "signature").unionByName(new_rows)
+    return all_sigs.join(labels, "doc_id")
 
 
 # --------------------------------------------------------------------------

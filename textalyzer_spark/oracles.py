@@ -113,8 +113,10 @@ def minhash_sig_band_ctes(
 
     p = prefix
     rows = num_hashes // bands
+    # window name prefixed: two instantiations under one WITH
+    # RECURSIVE clause share a window namespace in DuckDB 1.0
     lead_join = " || ' ' || ".join(
-        ["w"] + [f"lead(w,{j}) OVER win" for j in range(1, k)]
+        ["w"] + [f"lead(w,{j}) OVER {p}win" for j in range(1, k)]
     )
     from textalyzer_spark.functions.alphabet import toks_lower_sql
 
@@ -128,7 +130,7 @@ def minhash_sig_band_ctes(
           FROM {p}rawt
         ), {p}sh AS (
           SELECT DISTINCT doc_id, {lead_join} AS shingle
-          FROM {p}toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+          FROM {p}toks WINDOW {p}win AS (PARTITION BY doc_id ORDER BY pos)
         ), {p}shn AS (
           SELECT doc_id, shingle FROM {p}sh WHERE shingle IS NOT NULL
         ), {p}base AS (
@@ -155,42 +157,51 @@ def minhash_pairs_ctes(
     seed: int = 42,
     max_bucket_docs: int = 1000,
     source: str = "documents",
+    prefix: str = "",
+    source_where: str = "",
+    include_params: bool = True,
 ) -> str:
     """The :func:`minhash_lsh_sql` pipeline as a composable CTE chain
-    (no leading ``WITH``), terminating in ``mh_pairs(doc_a, doc_b,
+    (no leading ``WITH``), terminating in ``{p}mh_pairs(doc_a, doc_b,
     jaccard)`` — reused by the near-dup cluster-resolution oracles,
-    which chain connected components on top of the SAME pair SQL, and
+    which chain connected components on top of the SAME pair SQL;
     (``source=``) by the end-to-end pipeline oracle over its derived
-    cleaned corpus."""
-    params = minhash_params_cte(num_hashes, seed)
-    sig_band = minhash_sig_band_ctes("", "", k, num_hashes, bands,
-                                     source=source)
-    return f"""{params}, {sig_band}, okb AS (
+    cleaned corpus; and (``prefix=``/``include_params=False``) twice
+    by the incremental component-maintenance oracle, once per corpus
+    snapshot sharing one ``params`` CTE."""
+    p = prefix
+    params = (
+        minhash_params_cte(num_hashes, seed) + ", " if include_params
+        else ""
+    )
+    sig_band = minhash_sig_band_ctes(prefix, source_where, k, num_hashes,
+                                     bands, source=source)
+    return f"""{params}{sig_band}, {p}okb AS (
           -- mirrors the engine's max_bucket_docs mega-bucket guard
-          SELECT band, bucket FROM bnd
+          SELECT band, bucket FROM {p}bnd
           GROUP BY 1, 2 HAVING count(*) <= {max_bucket_docs}
-        ), bndk AS (
-          SELECT bnd.doc_id, bnd.band, bnd.bucket
-          FROM bnd JOIN okb USING (band, bucket)
-        ), cand AS (
+        ), {p}bndk AS (
+          SELECT {p}bnd.doc_id, {p}bnd.band, {p}bnd.bucket
+          FROM {p}bnd JOIN {p}okb USING (band, bucket)
+        ), {p}cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bndk a JOIN bndk b
+          FROM {p}bndk a JOIN {p}bndk b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        ), sizes AS (
-          SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1
-        ), inter AS (
+        ), {p}sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM {p}shn GROUP BY 1
+        ), {p}inter AS (
           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-          FROM cand c
-          JOIN shn a ON a.doc_id = c.doc_a
-          JOIN shn b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          FROM {p}cand c
+          JOIN {p}shn a ON a.doc_id = c.doc_a
+          JOIN {p}shn b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
           GROUP BY 1, 2
-        ), mh_pairs AS (
+        ), {p}mh_pairs AS (
           SELECT doc_a, doc_b,
                  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
                    AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
+          FROM {p}inter
+          JOIN {p}sizes sa ON sa.doc_id = doc_a
+          JOIN {p}sizes sb ON sb.doc_id = doc_b
           WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
                 >= {threshold}
         )"""
@@ -505,6 +516,83 @@ def simhash_pairs_sql(max_hamming: int = 6) -> str:
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def incremental_near_dup_groups_sql(
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    seed: int = 42,
+    max_bucket_docs: int = 1000,
+    old_where: str = "WHERE doc_id % 2 = 0",
+    new_where: str = "WHERE doc_id % 2 = 1",
+) -> str:
+    """Twin of ``incremental.incremental_near_dup_components`` over a
+    corpus split into a prior snapshot (catalog) and a new batch: the
+    union corpus is labeled with the SAME hybrid edge semantics the
+    two-snapshot engine path computes —
+
+    * intra-snapshot pairs: the exact-verified minhash pair SQL, one
+      instantiation per snapshot with its OWN mega-bucket guard
+      (exactly how the catalog build / new-batch pass ran them);
+    * cross-snapshot pairs: the signature-agreement estimator under
+      the COMBINED occupancy guard (``incremental_minhash_pairs`` —
+      the catalog stores signatures, not shingles, so cross edges
+      can only use the estimator);
+    * prior components are the old snapshot's connected components,
+      so merging old labels + new/cross edges == labeling this union
+      graph (a recursive min-label walk over all three edge sets).
+
+    Output ``(doc_id, component, keep)`` for every document of both
+    snapshots — the cross-snapshot cluster-MAINTENANCE result: a
+    chain A~B (snapshot 1) + B~C (snapshot 2) lands in ONE component.
+    """
+    params = minhash_params_cte(num_hashes, seed)
+    o = minhash_pairs_ctes(
+        k, num_hashes, bands, threshold, seed, max_bucket_docs,
+        prefix="o_", source_where=old_where, include_params=False,
+    )
+    n = minhash_pairs_ctes(
+        k, num_hashes, bands, threshold, seed, max_bucket_docs,
+        prefix="n_", source_where=new_where, include_params=False,
+    )
+    cc = connected_components_ctes(
+        pairs_cte="all_pairs", docs_select="SELECT doc_id FROM documents"
+    )
+    return f"""
+        WITH RECURSIVE {params}, {o}, {n}, xokb AS (
+          -- combined catalog + batch bucket occupancy guard
+          SELECT band, bucket FROM (
+            SELECT band, bucket FROM o_bnd
+            UNION ALL
+            SELECT band, bucket FROM n_bnd
+          ) GROUP BY 1, 2 HAVING count(*) <= {max_bucket_docs}
+        ), xcand AS (
+          SELECT DISTINCT o.doc_id AS doc_a, nn.doc_id AS doc_b
+          FROM o_bnd o
+          JOIN xokb USING (band, bucket)
+          JOIN n_bnd nn ON nn.band = o.band AND nn.bucket = o.bucket
+        ), xagree AS (
+          SELECT c.doc_a, c.doc_b,
+                 sum(CASE WHEN os.h = ns.h THEN 1 ELSE 0 END) AS n_eq
+          FROM xcand c
+          JOIN o_sig os ON os.doc_id = c.doc_a
+          JOIN n_sig ns ON ns.doc_id = c.doc_b AND ns.i = os.i
+          GROUP BY 1, 2
+        ), x_pairs AS (
+          SELECT doc_a, doc_b FROM xagree
+          WHERE n_eq / CAST({num_hashes} AS DOUBLE) >= {threshold}
+        ), all_pairs AS (
+          SELECT doc_a, doc_b FROM o_mh_pairs
+          UNION
+          SELECT doc_a, doc_b FROM n_mh_pairs
+          UNION
+          SELECT doc_a, doc_b FROM x_pairs
+        ), {cc}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
     """
 
 
