@@ -613,6 +613,19 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_groups_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution with the SIMHASH pair generator (same
+    composition as q_near_dup_groups, different method= — proving
+    near_dedup is method-parametric at the gate level): combination-
+    banded simhash pairs (Hamming <= 6, as q_simhash_pairs) ->
+    connected components -> keep-min-id."""
+    from textalyzer_spark.operators.near_dedup import near_dedup
+
+    return near_dedup(
+        _docs(spark, sf_dir), method="simhash", max_hamming=6
+    )
+
+
 def q_near_dup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keep rule over the same near-dup components:
     the survivor is the highest-quality_score doc (tie -> min doc_id)
@@ -739,6 +752,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return contamination_stats(train, bench, k=5)
+
+
+def q_contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION (VERDICT r5 stretch 8): same %97
+    benchmark split as q_contamination, but each hit is attributed to
+    the benchmark document it came from — (doc_id, bench_doc,
+    n_overlap_kgrams), the per-benchmark decontamination report."""
+    from textalyzer_spark.operators.dedup import contamination_by_benchmark
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_by_benchmark(train, bench, k=5)
 
 
 def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,11 +909,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
+    "near_dup_groups_simhash": q_near_dup_groups_simhash,
     "near_dup_keep_quality": q_near_dup_keep_quality,
     "pii_redaction": q_pii_redaction,
     "pipeline_clean_sample": q_pipeline_clean_sample,
     "corpus_mixture": q_corpus_mixture,
     "contamination": q_contamination,
+    "contamination_by_benchmark": q_contamination_by_benchmark,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
     "incremental_near_dup_groups": q_incremental_near_dup_groups,
@@ -922,6 +950,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "near_dup_groups": _o.near_dup_groups_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+        ),
+        "near_dup_groups_simhash": _o.near_dup_groups_simhash_sql(
+            max_hamming=6
         ),
         "token_counts_bpe": _o.bpe_token_counts_sql(
             n_merges=100, max_vocab=50_000
@@ -1296,6 +1327,29 @@ def oracle_sql() -> dict[str, str]:
                    END AS contamination_frac
             FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "contamination_by_benchmark": f"""
+            WITH rawt AS (
+              SELECT doc_id, {_toks} AS toks FROM documents
+            ), trg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM rawt WHERE doc_id % 97 <> 0
+            ), bmg AS (
+              SELECT DISTINCT doc_id AS bench_doc,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM rawt WHERE doc_id % 97 = 0
+            )
+            SELECT t.doc_id, b.bench_doc,
+                   CAST(count(*) AS BIGINT) AS n_overlap_kgrams
+            FROM trg t JOIN bmg b ON b.g = t.g
+            GROUP BY 1, 2
         """,
         "bigram_novelty": f"""
             WITH rawt AS (

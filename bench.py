@@ -74,8 +74,10 @@ def main() -> None:
         "ngram_jaccard",
         "minhash_lsh",
         "near_dup_groups",
+        "near_dup_groups_simhash",
         "near_dup_keep_quality",
         "contamination",
+        "contamination_by_benchmark",
         "pii_redaction",
         "pipeline_clean_sample",
         "incremental_exact_dedup",

@@ -208,3 +208,32 @@ def test_incremental_near_dup_component_maintenance(spark):
     nrows = {r["doc_id"]: r["component"] for r in nxt.collect()}
     assert nrows == lab
     assert nxt.filter("signature IS NULL").count() == 0
+
+
+def test_contamination_by_benchmark_attribution(spark):
+    """Stretch r5-8: each contaminated span is attributed to the
+    benchmark doc it came from — per-benchmark decontamination."""
+    from textalyzer_spark.operators.dedup import contamination_by_benchmark
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (200, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "once the quick brown fox jumps over everything"),
+            (2, "they pack my box with five dozen liquor jugs daily"),
+            (3, "wholly clean text with no benchmark overlap at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_id"], r["bench_doc"]): r["n_overlap_kgrams"]
+        for r in contamination_by_benchmark(train, bench, k=5).collect()
+    }
+    # doc 1 shares 2 of its 5-gram occurrences with bench 100 only;
+    # doc 2 shares 4 with bench 200 only; doc 3 appears nowhere
+    assert out == {(1, 100): 2, (2, 200): 4}

@@ -211,7 +211,8 @@ MULTISCRIPT_QUERIES = [
     # lang-bucketed sampling, and the near-dup cluster resolution —
     # all must hold on a Greek+Cyrillic+CJK corpus
     "token_counts_bpe", "repetition_stats", "bigram_novelty", "stratified_sample",
-    "near_dup_groups", "incremental_exact_dedup", "incremental_minhash",
+    "near_dup_groups", "near_dup_groups_simhash",
+    "incremental_exact_dedup", "incremental_minhash",
     "incremental_simhash", "incremental_near_dup_groups",
     "contamination", "pii_redaction", "corpus_mixture",
     # round 6: the end-to-end pipeline composition

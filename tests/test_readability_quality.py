@@ -194,3 +194,71 @@ def test_bigram_novelty_planted(spark):
     # doc-frequency (distinct docs), not occurrence count: doc 4's
     # thrice-occurring bigrams still have df == 1 -> fully novel
     assert out[4]["novel_frac"] == 1.0 and out[4]["common_frac"] == 0.0
+
+
+def test_solve_mixture_rates_pure():
+    from textalyzer_spark.operators.sampling import solve_mixture_rates
+
+    avail = {"en": 8000.0, "de": 1000.0, "zh": 1000.0}
+    # 50/50 en/de: de is scarcest (1000/0.5 = 2000 = T*), so de keeps
+    # everything and en downsamples to match
+    r = solve_mixture_rates(avail, {"en": 0.5, "de": 0.5})
+    assert r == {"en": 1000.0 / 8000.0, "de": 1.0}
+    # untargeted buckets are absent (stratified_sample default 0.0)
+    assert "zh" not in r
+    # budget caps total mass below the availability bound
+    r = solve_mixture_rates(avail, {"en": 0.5, "de": 0.5}, budget=1000)
+    assert r == {"en": 500.0 / 8000.0, "de": 0.5}
+    # target normalizes over positive shares
+    r1 = solve_mixture_rates(avail, {"en": 2.0, "de": 2.0})
+    assert r1 == solve_mixture_rates(avail, {"en": 0.5, "de": 0.5})
+    # a targeted bucket with zero mass -> infeasible -> all-zero rates
+    r = solve_mixture_rates(avail, {"en": 0.5, "fr": 0.5})
+    assert r == {"en": 0.0, "fr": 0.0}
+    import pytest
+
+    with pytest.raises(ValueError):
+        solve_mixture_rates(avail, {"en": 0.0})
+
+
+def test_mixture_solver_composes_with_sampler(spark):
+    """corpus_mixture -> solve_rates_from_mixture_report ->
+    stratified_sample hits the target mixture within binomial
+    tolerance on a planted corpus — the three operators compose with
+    no hand-tuned rates."""
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.sampling import (
+        corpus_mixture,
+        solve_rates_from_mixture_report,
+        stratified_sample,
+    )
+
+    # planted: 6000 en / 3000 de / 1000 zh docs, one token each (the
+    # doc-mass mixture == token mixture, keeps the math visible)
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 <= 5, "en")
+        .when(F.col("id") % 10 <= 8, "de")
+        .otherwise("zh")
+        .alias("lang"),
+        F.lit("tok").alias("text"),
+    )
+    mix = corpus_mixture(df, "lang")
+    target = {"en": 0.4, "de": 0.4, "zh": 0.2}
+    rates = solve_rates_from_mixture_report(mix, target)
+    # zh is scarcest relative to its 0.2 share: T* = 1000/0.2 = 5000
+    assert rates["zh"] == 1.0
+    assert abs(rates["en"] - 5000 * 0.4 / 6000) < 1e-12
+    assert abs(rates["de"] - 5000 * 0.4 / 3000) < 1e-12
+    kept = stratified_sample(df, "lang", rates).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in kept.collect()}
+    total = sum(got.values())
+    # realized mixture within 5-sigma binomial noise of the target
+    for lang, share in target.items():
+        exp = {"en": 2000, "de": 2000, "zh": 1000}[lang]
+        n_avail = {"en": 6000, "de": 3000, "zh": 1000}[lang]
+        p = rates[lang]
+        sd = max(1.0, (n_avail * p * (1 - p)) ** 0.5)
+        assert abs(got[lang] - exp) <= 5 * sd
+        assert abs(got[lang] / total - share) < 0.05

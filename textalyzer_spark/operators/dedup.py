@@ -424,6 +424,43 @@ def contamination_stats(
     )
 
 
+def contamination_by_benchmark(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Contamination ATTRIBUTION: ``(doc_id, bench_doc,
+    n_overlap_kgrams)`` — which benchmark document each contaminated
+    span came from, one row per (training doc, benchmark doc) pair
+    with >= 1 shared k-gram occurrence. The per-benchmark
+    decontamination report :func:`contamination_stats` cannot give
+    (its broadcast set is anonymous): summing ``n_overlap_kgrams``
+    over ``bench_doc`` >= that doc's ``n_contaminated`` (a training
+    k-gram hitting two benchmark docs counts once per bench doc
+    here, once total there).
+
+    Scale shape: identical to ``contamination_stats`` with ONE extra
+    key on the broadcast side — the benchmark (shingle, doc) pairs
+    are still benchmark-sized (distinct), broadcast under AQE; the
+    corpus side is one shingle pass + broadcast join + one groupBy on
+    (doc_id, bench_doc)."""
+    sh = doc_shingles(df, k, id_col, text_col)
+    bsh = (
+        doc_shingles(benchmark, k, bench_id_col, bench_text_col)
+        .select(F.col("doc_id").alias("bench_doc"), "shingle")
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap_kgrams"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: ``(doc_id, simhash bigint)``.
 

@@ -89,6 +89,69 @@ def corpus_mixture(
     )
 
 
+def solve_mixture_rates(
+    available: dict[str, float],
+    target: dict[str, float],
+    budget: float | None = None,
+) -> dict[str, float]:
+    """SOLVE per-stratum keep rates from a target mixture — the pure
+    function closing the loop between :func:`corpus_mixture` (what IS
+    the mixture) and :func:`stratified_sample` (apply given rates),
+    so the two compose without hand-tuning.
+
+    ``available``: mass per bucket (tokens or docs — whatever
+    :func:`corpus_mixture` column the mixture is defined over).
+    ``target``: desired mixture shares over the buckets to keep
+    (normalized internally over its positive entries; buckets absent
+    from ``target`` get rate 0.0). ``budget``: optional cap on total
+    sampled mass.
+
+    The solver maximizes total sampled mass T subject to the exact
+    mixture and per-bucket availability: T* = min_b available_b /
+    target_b (then min with ``budget``), rate_b = T* x target_b /
+    available_b. At T* the scarcest bucket is kept at rate 1.0 and
+    every other bucket downsamples proportionally — the standard
+    tokens-proportional mixture solve. A targeted bucket with zero
+    availability makes the exact mixture infeasible: T* = 0, all
+    rates 0 (explicit, never silently renormalized).
+
+    Expected mass is E[kept_b] = rate_b x available_b; the realized
+    sample deviates by the usual binomial noise, so mixture
+    assertions need sqrt-scale tolerance (pinned in pytest)."""
+    tot_t = sum(v for v in target.values() if v > 0)
+    if tot_t <= 0:
+        raise ValueError("target mixture has no positive share")
+    tgt = {k: v / tot_t for k, v in target.items() if v > 0}
+    feasible = min(
+        float(available.get(k, 0.0)) / v for k, v in tgt.items()
+    )
+    if budget is not None:
+        feasible = min(feasible, float(budget))
+    return {
+        k: (
+            feasible * v / float(available[k])
+            if float(available.get(k, 0.0)) > 0
+            else 0.0
+        )
+        for k, v in tgt.items()
+    }
+
+
+def solve_rates_from_mixture_report(
+    mixture: DataFrame,
+    target: dict[str, float],
+    mass_col: str = "n_tokens",
+    budget: float | None = None,
+) -> dict[str, float]:
+    """:func:`solve_mixture_rates` fed directly from a
+    :func:`corpus_mixture` report DataFrame (collects one row per
+    stratum — languages/domains/bands, never corpus-sized)."""
+    avail = {
+        r["bucket"]: float(r[mass_col]) for r in mixture.collect()
+    }
+    return solve_mixture_rates(avail, target, budget)
+
+
 def stratified_sample(
     df: DataFrame,
     bucket_col: str,

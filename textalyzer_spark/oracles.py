@@ -280,6 +280,26 @@ def near_dup_groups_sql(
     """
 
 
+def near_dup_groups_simhash_sql(max_hamming: int = 6) -> str:
+    """Twin of ``near_dedup(df, method="simhash", keep="min_id")``:
+    the brute-force simhash pair SQL (identical output set to the
+    engine's recall-complete combination banding), then the same
+    recursive connected-components walk and keep-min-id rule as
+    :func:`near_dup_groups_sql` — proving the cluster-resolution
+    composition is method-parametric at the ORACLE level too."""
+    pairs = f"""sh_pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        )"""
+    cc = connected_components_ctes(pairs_cte="sh_pairs")
+    return f"""
+        WITH RECURSIVE {simhash_values_ctes()}, {pairs}, {cc}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
+    """
+
+
 # --------------------------------------------------------------------------
 # Learned BPE token counting (operators/bpe.py)
 # --------------------------------------------------------------------------
