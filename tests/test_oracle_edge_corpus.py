@@ -290,7 +290,9 @@ def test_ws_class_splits_as_pinned(spark, ws_sf_dir):
     assert rows[3] == 2          # nbsp\xa0joined | pair
     assert rows[4] == 3          # form | feed | and\x1cfilesep
     assert rows[5] == 2          # figure space | held
-    assert rows[6] == 5          # mix tabs new lines end
+    # the bare \xa0 between pinned separators is itself a token:
+    # mix | tabs | new | lines | \xa0 | end
+    assert rows[6] == 6
 
 
 def _fuzz_docs(n_docs: int = 60, seed: int = 20260817):
