@@ -219,3 +219,63 @@ def test_pii_redaction_is_codegen_projection(spark, docs):
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_contamination_attribution_broadcasts_benchmark(spark, docs):
+    """Same pin as contamination_stats for the round-6 attribution
+    variant: the (shingle, bench_doc) pair set broadcasts — one extra
+    key must not flip the join to a corpus-side shuffle."""
+    from textalyzer_spark.operators.dedup import contamination_by_benchmark
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = (
+        contamination_by_benchmark(train, bench, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_streaming_stateless_twins_have_no_state_operator(spark, tmp_path, docs):
+    """The round-6 streaming twins must stay STATELESS: no
+    state-store operator in their streaming plans (unbounded per-doc
+    state is how streaming contamination/sampling dies at 10^12
+    docs; the contamination benchmark set rides in the Arrow-pass
+    closure instead)."""
+    from textalyzer_spark.streaming.jobs import (
+        run_to_completion_foreach,
+        streaming_contamination,
+        streaming_pii_stats,
+        streaming_stratified_sample,
+    )
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("d1", "some text about the quick brown fox")],
+        "doc_id string, text string",
+    ).write.parquet(inp)
+    bench = docs.limit(3)
+    for i, q in enumerate(
+        (
+            streaming_pii_stats(spark, inp),
+            streaming_stratified_sample(spark, inp, {"en": 0.5}),
+            streaming_contamination(spark, inp, bench, k=5),
+        )
+    ):
+        ck = str(tmp_path / f"ck{i}")
+        query = (
+            q.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        plan = query.lastProgress["sources"] if query.lastProgress else None
+        # stateful operators report in lastProgress.stateOperators
+        assert not (
+            query.lastProgress and query.lastProgress["stateOperators"]
+        ), f"twin {i} has state operators"
