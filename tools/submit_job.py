@@ -35,11 +35,19 @@ def main(argv: list[str] | None = None) -> None:
         "--analysis",
         default="tokenize_metrics",
         choices=["tokenize_metrics", "near_dedup", "pii_redact",
-                 "exact_dedup", "repetition_stats"],
+                 "exact_dedup", "repetition_stats", "pipeline_clean",
+                 "incremental_near_dedup"],
         help="tokenize_metrics runs the lineage-checkpointed span "
         "pipeline; the others are flat-table batch analyses whose "
         "output lands as parquet under --output",
     )
+    p.add_argument(
+        "--catalog",
+        help="incremental_near_dedup: component-catalog base dir "
+        "(snapshot=N layout; created on first run)",
+    )
+    p.add_argument("--quality-min", type=float, default=0.7)
+    p.add_argument("--sample-rate", type=float, default=1.0)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,6 +78,59 @@ def main(argv: list[str] | None = None) -> None:
             from textalyzer_spark.operators.dedup import exact_dedup
 
             out = exact_dedup(docs)
+        elif args.analysis == "pipeline_clean":
+            # the deployed end-to-end artifact (gate twin:
+            # __spark_entry__.q_pipeline_clean_sample, minus the PII
+            # fixture synthesis — production input already has its
+            # PII): quality filter -> redact -> exact dedup -> near
+            # dedup -> deterministic sample; output is the CLEAN TEXT
+            from pyspark.sql import functions as F
+
+            from textalyzer_spark.operators.near_dedup import near_dedup
+            from textalyzer_spark.operators.pii import redact_pii
+            from textalyzer_spark.operators.quality import quality_score
+            from textalyzer_spark.operators.sampling import hash_sample
+
+            qkeep = (
+                quality_score(docs)
+                .filter(F.col("quality_score") >= args.quality_min)
+                .select("doc_id")
+            )
+            clean = redact_pii(docs.join(qkeep, "doc_id")).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            keep_exact = (
+                clean.groupBy(F.md5("text").alias("_fp"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            deduped = clean.join(keep_exact, "doc_id").localCheckpoint()
+            nd = near_dedup(deduped, method="minhash")
+            kept = deduped.join(nd.filter("keep").select("doc_id"), "doc_id")
+            out = hash_sample(kept, args.sample_rate, salt="pipeline")
+        elif args.analysis == "incremental_near_dedup":
+            # persisted-catalog cluster maintenance: merge this
+            # batch's near-dup edges into the prior components, write
+            # the advanced snapshot, output the union labels
+            if not args.catalog:
+                raise SystemExit("--catalog required for incremental_near_dedup")
+            from textalyzer_spark.operators import incremental as inc
+
+            try:
+                cat = inc.read_catalog(spark, args.catalog)
+            except FileNotFoundError:
+                cat = None
+            if cat is None:
+                nxt = inc.minhash_component_catalog(docs)
+                out = nxt.select("doc_id", "component")
+            else:
+                labels = inc.incremental_near_dup_components(docs, cat)
+                nxt = inc.updated_minhash_component_catalog(
+                    cat, docs, labels
+                )
+                out = labels
+            snap = inc.write_catalog_snapshot(nxt, args.catalog)
+            print(json.dumps({"catalog_snapshot": snap}))
         else:
             from textalyzer_spark.operators.quality import repetition_stats
 
