@@ -832,6 +832,29 @@ def q_incremental_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_incremental_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot cluster maintenance on the SIMHASH catalog (one
+    int64 + one label per doc — the cheapest catalog state): same
+    label-edge + intra + cross union-find as
+    q_incremental_near_dup_groups, Hamming radius 6 (as
+    q_simhash_pairs). Oracle: brute-pair union labeling
+    (oracles.incremental_simhash_groups_sql) — the banding is
+    recall-complete so edge sets match by construction."""
+    from textalyzer_spark.operators.incremental import (
+        incremental_simhash_components,
+        simhash_component_catalog,
+    )
+
+    old, new = _split_batches(spark, sf_dir)
+    cat = simhash_component_catalog(old, max_hamming=6).localCheckpoint()
+    labels = incremental_simhash_components(new, cat, max_hamming=6)
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 def q_embedding_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution over the EMBEDDING near-dup pairs — the
     near_dedup(pairs=...) composition path under the gate: LSH pair
@@ -919,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
     "incremental_near_dup_groups": q_incremental_near_dup_groups,
+    "incremental_simhash_groups": q_incremental_simhash_groups,
     "incremental_simhash": q_incremental_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
@@ -965,6 +989,9 @@ def oracle_sql() -> dict[str, str]:
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),
         "incremental_simhash": _o.incremental_simhash_sql(max_hamming=6),
+        "incremental_simhash_groups": _o.incremental_simhash_groups_sql(
+            max_hamming=6
+        ),
         "simhash_pairs": _o.simhash_pairs_sql(max_hamming=6),
         "winnow_pairs": _o.winnow_pairs_sql(
             k=8, window=4, min_shared=3, min_overlap=0.5, max_doc_freq=50

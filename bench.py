@@ -84,6 +84,7 @@ def main() -> None:
         "incremental_minhash",
         "incremental_simhash",
         "incremental_near_dup_groups",
+        "incremental_simhash_groups",
         "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",

@@ -237,3 +237,43 @@ def test_contamination_by_benchmark_attribution(spark):
     # doc 1 shares 2 of its 5-gram occurrences with bench 100 only;
     # doc 2 shares 4 with bench 200 only; doc 3 appears nowhere
     assert out == {(1, 100): 2, (2, 200): 4}
+
+
+def test_incremental_simhash_component_maintenance(spark):
+    """Simhash-catalog analog of the minhash maintenance test: the
+    snapshot-1 A~B component merges with a snapshot-2 C~B match into
+    one cluster, through the carried-forward label edge (the fixture
+    self-validates that C is within radius of B but NOT of A)."""
+    from textalyzer_spark.operators.dedup import simhash
+
+    A = ("the quick brown fox jumps over the lazy dog while seven "
+         "wizards brew strong potions under a pale winter moon")
+    B = A + " tonight again"
+    C = B.replace("quick brown", "slow gray")
+    snap1 = spark.createDataFrame(
+        [(1, A), (2, B), (30, "wholly unrelated text about volcano ash")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, C), (130, "another unrelated piece about tidal flats")],
+        "doc_id bigint, text string",
+    )
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(snap1.unionByName(batch)).collect()
+    }
+    ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
+    H = 10
+    # fixture self-check: the chain is a CHAIN at this radius
+    assert ham(1, 2) <= H and ham(2, 101) <= H < ham(1, 101), (
+        ham(1, 2), ham(2, 101), ham(1, 101)
+    )
+    cat = inc.simhash_component_catalog(snap1, max_hamming=H)
+    assert {r["doc_id"]: r["component"] for r in cat.collect()} == {
+        1: 1, 2: 1, 30: 30,
+    }
+    labels = inc.incremental_simhash_components(batch, cat, max_hamming=H)
+    lab = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert lab == {1: 1, 2: 1, 101: 1, 30: 30, 130: 130}
+    nxt = inc.updated_simhash_component_catalog(cat, batch, labels)
+    assert {r["doc_id"]: r["component"] for r in nxt.collect()} == lab

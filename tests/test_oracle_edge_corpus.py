@@ -214,6 +214,7 @@ MULTISCRIPT_QUERIES = [
     "near_dup_groups", "near_dup_groups_simhash",
     "incremental_exact_dedup", "incremental_minhash",
     "incremental_simhash", "incremental_near_dup_groups",
+    "incremental_simhash_groups",
     "contamination", "pii_redaction", "corpus_mixture",
     # round 6: the end-to-end pipeline composition
     "pipeline_clean_sample",

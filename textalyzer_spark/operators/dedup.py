@@ -553,6 +553,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with Hamming distance <=
     ``max_hamming`` d: ``(doc_a, doc_b, hamming)``.
@@ -574,8 +575,14 @@ def simhash_near_pairs(
     chunks = max_hamming + 2
 
     # the keyed table feeds both self-join sides; materialize the tiny
-    # (doc_id, simhash) table so the python simhash stage runs once
-    sh = simhash(df, id_col, text_col).localCheckpoint()
+    # (doc_id, simhash) table so the python simhash stage runs once.
+    # sims= accepts an ALREADY MATERIALIZED (doc_id, simhash) table
+    # (component-maintenance path shares one simhash pass)
+    sh = (
+        sims
+        if sims is not None
+        else simhash(df, id_col, text_col).localCheckpoint()
+    )
     keyed = _simhash_chunk_keys(sh, chunks)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (

@@ -384,10 +384,21 @@ def incremental_simhash_pairs(
     ``simhash_near_pairs`` applied between two tables instead of as a
     self-join (recall-complete for the same reason: a <= d-diff pair
     has >= 2 untouched chunks, so it collides on >= 1 chunk PAIR)."""
-    from textalyzer_spark.operators.dedup import _simhash_chunk_keys, simhash
+    from textalyzer_spark.operators.dedup import simhash
+
+    new_sh = simhash(new_df, id_col, text_col).localCheckpoint()
+    return _simhash_cross_from_values(new_sh, catalog, max_hamming)
+
+
+def _simhash_cross_from_values(
+    new_sh: DataFrame, catalog: DataFrame, max_hamming: int
+) -> DataFrame:
+    """The combination-banded cross join core of
+    :func:`incremental_simhash_pairs` over ALREADY MATERIALIZED new
+    simhash values — shared with the component-maintenance path."""
+    from textalyzer_spark.operators.dedup import _simhash_chunk_keys
 
     chunks = max_hamming + 2
-    new_sh = simhash(new_df, id_col, text_col).localCheckpoint()
     ok = _simhash_chunk_keys(catalog, chunks)
     nk = _simhash_chunk_keys(new_sh, chunks)
     pairs = (
@@ -410,6 +421,87 @@ def incremental_simhash_pairs(
     return pairs.select(
         "doc_old", "doc_new", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_component_catalog(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, simhash, component)`` snapshot catalog — the
+    one-int64-per-doc simhash catalog PLUS near-dup component labels
+    (the simhash analog of :func:`minhash_component_catalog`; simhash
+    emits a value for EVERY doc, token-less ones hash to 0, so no
+    NULL handling is needed). ONE simhash pass feeds both the stored
+    values and the pair chain."""
+    from textalyzer_spark.operators.dedup import simhash, simhash_near_pairs
+    from textalyzer_spark.operators.graph import connected_components
+
+    sims = simhash(df, id_col, text_col).localCheckpoint()
+    pairs = simhash_near_pairs(
+        df, max_hamming, id_col=id_col, text_col=text_col, sims=sims
+    )
+    docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    labels = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        docs,
+    )
+    return sims.join(labels, "doc_id")
+
+
+def incremental_simhash_components(
+    new_df: DataFrame,
+    catalog: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot cluster maintenance on the SIMHASH catalog:
+    ``(doc_id, component)`` over catalog ∪ batch — the same
+    label-edge + intra + cross union-find as
+    :func:`incremental_near_dup_components`, with the cheapest
+    possible catalog state (one int64 + one label per doc). ONE
+    simhash pass over the batch feeds intra and cross."""
+    from textalyzer_spark.operators.dedup import simhash, simhash_near_pairs
+    from textalyzer_spark.operators.graph import connected_components
+
+    old_edges = catalog.filter(
+        F.col("doc_id") != F.col("component")
+    ).select(F.col("doc_id").alias("src"), F.col("component").alias("dst"))
+    new_sh = simhash(new_df, id_col, text_col).localCheckpoint()
+    intra = simhash_near_pairs(
+        new_df, max_hamming, id_col=id_col, text_col=text_col, sims=new_sh
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cross = _simhash_cross_from_values(
+        new_sh, catalog.select("doc_id", "simhash"), max_hamming
+    ).select(F.col("doc_old").alias("src"), F.col("doc_new").alias("dst"))
+    docs = (
+        catalog.select("doc_id")
+        .unionByName(new_df.select(F.col(id_col).alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(
+        old_edges.unionByName(intra).unionByName(cross), docs
+    )
+
+
+def updated_simhash_component_catalog(
+    catalog: DataFrame,
+    new_df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The next ``(doc_id, simhash, component)`` snapshot: old + new
+    values, re-labeled with the merged components."""
+    from textalyzer_spark.operators.dedup import simhash
+
+    new_sh = simhash(new_df, id_col, text_col)
+    all_sh = catalog.select("doc_id", "simhash").unionByName(new_sh)
+    return all_sh.join(labels, "doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -616,6 +616,48 @@ def incremental_near_dup_groups_sql(
     """
 
 
+def incremental_simhash_groups_sql(
+    max_hamming: int = 6,
+    old_where: str = "WHERE doc_id % 2 = 0",
+    new_where: str = "WHERE doc_id % 2 = 1",
+) -> str:
+    """Twin of ``incremental.incremental_simhash_components``: the
+    union corpus labeled over brute-force simhash pairs (intra-old,
+    intra-new and cross — the engine's combination banding is
+    recall-complete, so the edge SETS are identical by construction;
+    prior components collapse into label edges, making the union walk
+    equal to the engine's merge). Output ``(doc_id, component,
+    keep)`` for every document of both snapshots."""
+    o = simhash_values_ctes("o_", old_where)
+    n = simhash_values_ctes("n_", new_where)
+    cc = connected_components_ctes(
+        pairs_cte="all_pairs", docs_select="SELECT doc_id FROM documents"
+    )
+    return f"""
+        WITH RECURSIVE {o}, {n}, o_pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM o_allsim a JOIN o_allsim b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ), n_pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM n_allsim a JOIN n_allsim b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ), x_pairs AS (
+          SELECT o.doc_id AS doc_a, nn.doc_id AS doc_b
+          FROM o_allsim o JOIN n_allsim nn
+            ON bit_count(xor(o.simhash, nn.simhash)) <= {max_hamming}
+        ), all_pairs AS (
+          SELECT doc_a, doc_b FROM o_pairs
+          UNION
+          SELECT doc_a, doc_b FROM n_pairs
+          UNION
+          SELECT doc_a, doc_b FROM x_pairs
+        ), {cc}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
+    """
+
+
 def incremental_simhash_sql(
     max_hamming: int = 6,
     old_where: str = "WHERE doc_id % 2 = 0",
