@@ -263,7 +263,7 @@ def test_incremental_simhash_component_maintenance(spark):
         for r in simhash(snap1.unionByName(batch)).collect()
     }
     ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
-    H = 10
+    H = 7  # measured: ham(1,2)=2, ham(2,101)=7, ham(1,101)=9
     # fixture self-check: the chain is a CHAIN at this radius
     assert ham(1, 2) <= H and ham(2, 101) <= H < ham(1, 101), (
         ham(1, 2), ham(2, 101), ham(1, 101)
