@@ -832,6 +832,35 @@ def q_incremental_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_incremental_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot cluster maintenance on the EMBEDDING catalog —
+    completes the maintenance matrix (minhash / simhash / embedding
+    catalogs all carry component labels forward): even vec_ids play
+    the catalog snapshot, odd the new batch; label edges + intra LSH
+    pairs + cross bucket-collision pairs (id-only join, rounded-
+    cosine verify) into one union labeling. Same LSH params as
+    q_embedding_near_dup_lsh."""
+    from textalyzer_spark.operators.incremental import (
+        embedding_component_catalog,
+        incremental_embedding_components,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cat = embedding_component_catalog(
+        old, threshold=0.35, dim=64, n_bits=4, n_tables=16
+    ).localCheckpoint()
+    labels = incremental_embedding_components(
+        new, cat, threshold=0.35, dim=64, n_bits=4, n_tables=16
+    )
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 def q_incremental_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot cluster maintenance on the SIMHASH catalog (one
     int64 + one label per doc — the cheapest catalog state): same
@@ -943,6 +972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_minhash": q_incremental_minhash,
     "incremental_near_dup_groups": q_incremental_near_dup_groups,
     "incremental_simhash_groups": q_incremental_simhash_groups,
+    "incremental_embedding_groups": q_incremental_embedding_groups,
     "incremental_simhash": q_incremental_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
@@ -991,6 +1021,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_simhash": _o.incremental_simhash_sql(max_hamming=6),
         "incremental_simhash_groups": _o.incremental_simhash_groups_sql(
             max_hamming=6
+        ),
+        "incremental_embedding_groups": _o.incremental_embedding_groups_sql(
+            threshold=0.35, dim=64, n_bits=4, n_tables=16, seed=42
         ),
         "simhash_pairs": _o.simhash_pairs_sql(max_hamming=6),
         "winnow_pairs": _o.winnow_pairs_sql(

@@ -85,6 +85,7 @@ def main() -> None:
         "incremental_simhash",
         "incremental_near_dup_groups",
         "incremental_simhash_groups",
+        "incremental_embedding_groups",
         "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",

@@ -375,3 +375,43 @@ def test_cosine_topk_query_byte_bound(spark):
     qn = dfn.withColumnRenamed("vec_id", "query_id")
     out = sim.cosine_topk(dfn, qn, k=2, max_queries=100, max_query_cells=100)
     assert out.count() == 16
+
+
+def test_incremental_embedding_component_maintenance(spark):
+    """Embedding-catalog analog of the minhash/simhash maintenance
+    tests: planted on a 2D rotation chain — A at 0 deg, B at 15 deg
+    (cos 0.966 >= 0.95), C at 30 deg (cos(B,C) 0.966, cos(A,C) 0.866
+    < 0.95) — so snapshot-1 A~B merges with batch C~B through the
+    carried label edge, never directly A~C."""
+    import math
+
+    from textalyzer_spark.operators import incremental as inc
+
+    def vec(theta_deg, dim=8):
+        t = math.radians(theta_deg)
+        v = [0.0] * dim
+        v[0], v[1] = math.cos(t), math.sin(t)
+        return v
+
+    far = [0.0] * 8
+    far[2] = 1.0
+    snap1 = spark.createDataFrame(
+        [(0, vec(0)), (2, vec(15)), (30, far)],
+        "vec_id bigint, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(101, vec(30)), (131, [0.0] * 7 + [1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    kw = dict(threshold=0.95, dim=8, n_bits=2, n_tables=8, seed=7)
+    cat = inc.embedding_component_catalog(snap1, **kw)
+    assert {r["vec_id"]: r["component"] for r in cat.collect()} == {
+        0: 0, 2: 0, 30: 30,
+    }
+    labels = inc.incremental_embedding_components(batch, cat, **kw)
+    lab = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert lab == {0: 0, 2: 0, 101: 0, 30: 30, 131: 131}
+    nxt = inc.updated_embedding_component_catalog(cat, batch, labels)
+    rows = {r["vec_id"]: r["component"] for r in nxt.collect()}
+    assert rows == lab
+    assert nxt.filter("embedding IS NULL").count() == 0

@@ -505,6 +505,155 @@ def updated_simhash_component_catalog(
 
 
 # --------------------------------------------------------------------------
+# embedding near-dup component maintenance (completes the matrix:
+# minhash / simhash / embedding catalogs all carry labels forward)
+# --------------------------------------------------------------------------
+
+
+def embedding_component_catalog(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_docs: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, embedding, component)`` snapshot catalog for the
+    EMBEDDING near-dup family: the vectors themselves are the catalog
+    state (cosine needs them — dim x 8 bytes/doc, the same state any
+    vector store carries) plus the snapshot's LSH near-dup component
+    labels. Bucket keys are NOT stored: they re-derive from the
+    deterministic hyperplanes (dim, n_bits, n_tables, seed) on read,
+    cheaper than persisting n_tables rows per vector."""
+    from textalyzer_spark.operators.graph import connected_components
+    from textalyzer_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    pairs = embedding_near_dup_pairs_lsh(
+        vectors, threshold, dim, n_bits, n_tables, seed,
+        max_bucket_docs, id_col, vec_col,
+    )
+    docs = vectors.select(F.col(id_col).alias("doc_id")).distinct()
+    labels = connected_components(
+        pairs.select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        ),
+        docs,
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+
+
+def incremental_embedding_components(
+    new_vectors: DataFrame,
+    catalog: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_docs: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-snapshot cluster maintenance on the embedding catalog:
+    ``(doc_id, component)`` over catalog ∪ batch — label edges +
+    intra-batch LSH pairs + cross batch-vs-catalog LSH pairs into one
+    union-find, like the minhash/simhash analogs.
+
+    The cross candidate join is id-only on (table, bucket) — the same
+    16-bytes-per-row shuffle discipline as the single-corpus LSH
+    operator — with vectors attached afterward for the exact-cosine
+    verify (same ``_score_pairs`` rounding as every similarity
+    path)."""
+    from textalyzer_spark.operators.graph import connected_components
+    from textalyzer_spark.operators.similarity import (
+        _hyperplane_buckets,
+        _score_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    old_edges = catalog.filter(
+        F.col("vec_id") != F.col("component")
+    ).select(F.col("vec_id").alias("src"), F.col("component").alias("dst"))
+    intra = embedding_near_dup_pairs_lsh(
+        new_vectors, threshold, dim, n_bits, n_tables, seed,
+        max_bucket_docs, id_col, vec_col,
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+
+    cat_v = catalog.select("vec_id", "embedding")
+    new_v = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    ob = _hyperplane_buckets(
+        cat_v, "vec_id", dim, n_bits, n_tables, seed
+    ).select("table", "bucket", F.col("vec_id").alias("vec_a"))
+    nb = _hyperplane_buckets(
+        new_v, "vec_id", dim, n_bits, n_tables, seed
+    ).select("table", "bucket", F.col("vec_id").alias("vec_b"))
+    if max_bucket_docs is not None:
+        ok = (
+            ob.select("table", "bucket")
+            .unionAll(nb.select("table", "bucket"))
+            .groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket_docs)
+            .select("table", "bucket")
+        )
+        ob = ob.join(ok, ["table", "bucket"])
+        nb = nb.join(ok, ["table", "bucket"])
+    pair_ids = (
+        ob.join(nb, ["table", "bucket"])
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vv_a = cat_v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    vv_b = new_v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    cross = _score_pairs(
+        pair_ids.join(vv_a, "vec_a").join(vv_b, "vec_b"),
+        "vec_a", "vec_b", "va", "vb", threshold=threshold,
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+
+    docs = (
+        catalog.select(F.col("vec_id").alias("doc_id"))
+        .unionByName(new_vectors.select(F.col(id_col).alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(
+        old_edges.unionByName(intra).unionByName(cross), docs
+    )
+
+
+def updated_embedding_component_catalog(
+    catalog: DataFrame,
+    new_vectors: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The next ``(vec_id, embedding, component)`` snapshot: old +
+    new vectors, re-labeled with the merged components."""
+    new_v = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    all_v = catalog.select("vec_id", "embedding").unionByName(new_v)
+    return all_v.join(
+        labels.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # snapshot persistence (lineage.py commit protocol)
 # --------------------------------------------------------------------------
 

@@ -779,13 +779,14 @@ def _bucket_expr(planes: list[list[float]], vec: str = "e") -> str:
 
 
 def _buckets_cte(
-    dim: int, n_bits: int, n_tables: int, seed: int
+    dim: int, n_bits: int, n_tables: int, seed: int, source: str = "v"
 ) -> str:
     from textalyzer_spark.operators.similarity import lsh_table_planes
 
     tables = lsh_table_planes(dim, n_bits, n_tables, seed)
     selects = [
-        f"SELECT vec_id, e, {t} AS tbl, {_bucket_expr(planes)} AS bucket FROM v"
+        f"SELECT vec_id, e, {t} AS tbl, {_bucket_expr(planes)} AS bucket "
+        f"FROM {source}"
         for t, planes in enumerate(tables)
     ]
     return "\n          UNION ALL ".join(selects)
@@ -841,26 +842,32 @@ def embedding_lsh_pairs_ctes(
     n_bits: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    prefix: str = "",
+    source_where: str = "",
 ) -> str:
     """The ``embedding_near_dup_lsh`` pipeline as a composable CTE
-    chain (no leading ``WITH``) ending in ``emb_pairs(vec_a, vec_b,
-    cosine)`` — reused by the embedding cluster-resolution oracle."""
-    return f"""v AS (
-          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        ), buck AS (
-          {_buckets_cte(dim, n_bits, n_tables, seed)}
-        ), cand AS (
+    chain (no leading ``WITH``) ending in ``{p}emb_pairs(vec_a,
+    vec_b, cosine)`` — reused by the embedding cluster-resolution
+    oracle, and (``prefix=``/``source_where=``) per snapshot by the
+    incremental embedding-maintenance oracle."""
+    p = prefix
+    return f"""{p}v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings {source_where}
+        ), {p}buck AS (
+          {_buckets_cte(dim, n_bits, n_tables, seed, source=f"{p}v")}
+        ), {p}cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM buck a JOIN buck b
+          FROM {p}buck a JOIN {p}buck b
             ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-        ), emb_pairs AS (
+        ), {p}emb_pairs AS (
           SELECT c.vec_a, c.vec_b,
                  round(list_dot_product(va.e, vb.e)
                        / (sqrt(list_dot_product(va.e, va.e))
                           * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cosine
-          FROM cand c
-          JOIN v va ON va.vec_id = c.vec_a
-          JOIN v vb ON vb.vec_id = c.vec_b
+          FROM {p}cand c
+          JOIN {p}v va ON va.vec_id = c.vec_a
+          JOIN {p}v vb ON vb.vec_id = c.vec_b
           WHERE round(list_dot_product(va.e, vb.e)
                       / (sqrt(list_dot_product(va.e, va.e))
                          * sqrt(list_dot_product(vb.e, vb.e))), 4)
@@ -901,6 +908,58 @@ def embedding_near_dup_groups_sql(
     return f"""
         WITH RECURSIVE {pairs}, ep AS (
           SELECT vec_a AS doc_a, vec_b AS doc_b FROM emb_pairs
+        ), {cc}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
+    """
+
+
+def incremental_embedding_groups_sql(
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    old_where: str = "WHERE vec_id % 2 = 0",
+    new_where: str = "WHERE vec_id % 2 = 1",
+) -> str:
+    """Twin of ``incremental.incremental_embedding_components`` with
+    the embeddings table split into a catalog snapshot and a new
+    batch: the union corpus labeled over per-snapshot intra LSH pair
+    SQL + cross bucket-collision pairs (same hyperplane constants,
+    same rounded-cosine verify) + prior components as label edges —
+    the same hybrid-edge recursive walk as the minhash/simhash
+    maintenance oracles."""
+    o = embedding_lsh_pairs_ctes(
+        threshold, dim, n_bits, n_tables, seed, "o_", old_where
+    )
+    n = embedding_lsh_pairs_ctes(
+        threshold, dim, n_bits, n_tables, seed, "n_", new_where
+    )
+    cc = connected_components_ctes(
+        pairs_cte="all_pairs",
+        docs_select="SELECT vec_id AS doc_id FROM embeddings",
+    )
+    return f"""
+        WITH RECURSIVE {o}, {n}, x_cand AS (
+          SELECT DISTINCT o.vec_id AS vec_a, nn.vec_id AS vec_b
+          FROM o_buck o JOIN n_buck nn
+            ON o.tbl = nn.tbl AND o.bucket = nn.bucket
+        ), x_pairs AS (
+          SELECT c.vec_a, c.vec_b
+          FROM x_cand c
+          JOIN o_v va ON va.vec_id = c.vec_a
+          JOIN n_v vb ON vb.vec_id = c.vec_b
+          WHERE round(list_dot_product(va.e, vb.e)
+                      / (sqrt(list_dot_product(va.e, va.e))
+                         * sqrt(list_dot_product(vb.e, vb.e))), 4)
+                >= {threshold}
+        ), all_pairs AS (
+          SELECT vec_a AS doc_a, vec_b AS doc_b FROM o_emb_pairs
+          UNION
+          SELECT vec_a, vec_b FROM n_emb_pairs
+          UNION
+          SELECT vec_a, vec_b FROM x_pairs
         ), {cc}
         SELECT doc_id, component, doc_id = component AS keep
         FROM cc_labels
