@@ -861,6 +861,37 @@ def q_incremental_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_incremental_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep over MAINTAINED components: the catalog
+    carries each cataloged doc's quality_score next to its signature
+    and component (the old text may be gone at decision time — the
+    score is the only quality state a catalog can consult), the new
+    batch scores on arrival, and the merged components keep their
+    highest-quality member (tie -> min doc_id) via the same two-agg
+    rule as q_near_dup_keep_quality."""
+    from textalyzer_spark.operators.incremental import (
+        incremental_near_dup_components,
+        minhash_component_catalog,
+    )
+    from textalyzer_spark.operators.near_dedup import quality_keep
+    from textalyzer_spark.operators.quality import quality_score
+
+    old, new = _split_batches(spark, sf_dir)
+    cat = minhash_component_catalog(
+        old, k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+    )
+    catq = cat.join(
+        quality_score(old).select("doc_id", "quality_score"), "doc_id"
+    ).localCheckpoint()
+    labels = incremental_near_dup_components(
+        new, catq, k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+    )
+    q_all = catq.select("doc_id", "quality_score").unionByName(
+        quality_score(new).select("doc_id", "quality_score")
+    )
+    return quality_keep(labels, q_all)
+
+
 def q_incremental_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot cluster maintenance on the SIMHASH catalog (one
     int64 + one label per doc — the cheapest catalog state): same
@@ -972,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_minhash": q_incremental_minhash,
     "incremental_near_dup_groups": q_incremental_near_dup_groups,
     "incremental_simhash_groups": q_incremental_simhash_groups,
+    "incremental_keep_quality": q_incremental_keep_quality,
     "incremental_embedding_groups": q_incremental_embedding_groups,
     "incremental_simhash": q_incremental_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -1252,6 +1284,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, quality_score, n_tokens, type_token_ratio,
                    stopword_ratio, alpha_ratio
             FROM qscore
+        """,
+        "incremental_keep_quality": f"""
+            WITH RECURSIVE {_o.incremental_near_dup_cc_ctes(
+                k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
+            )}, {_quality_ctes(_toks)},
+            iqmax AS (
+              SELECT component, max(quality_score) AS _qmax
+              FROM cc_labels JOIN qscore USING (doc_id)
+              GROUP BY component
+            ), ikeepid AS (
+              SELECT component, min(doc_id) AS _keep
+              FROM cc_labels
+              JOIN qscore USING (doc_id)
+              JOIN iqmax USING (component)
+              WHERE quality_score = _qmax
+              GROUP BY component
+            )
+            SELECT l.doc_id, l.component, l.doc_id = k._keep AS keep
+            FROM cc_labels l JOIN ikeepid k USING (component)
         """,
         "near_dup_keep_quality": f"""
             WITH RECURSIVE {_o.minhash_pairs_ctes(

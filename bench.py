@@ -86,6 +86,7 @@ def main() -> None:
         "incremental_near_dup_groups",
         "incremental_simhash_groups",
         "incremental_embedding_groups",
+        "incremental_keep_quality",
         "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",

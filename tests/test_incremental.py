@@ -277,3 +277,36 @@ def test_incremental_simhash_component_maintenance(spark):
     assert lab == {1: 1, 2: 1, 101: 1, 30: 30, 130: 130}
     nxt = inc.updated_simhash_component_catalog(cat, batch, labels)
     assert {r["doc_id"]: r["component"] for r in nxt.collect()} == lab
+
+
+def test_incremental_quality_keep_prefers_cataloged_doc(spark):
+    """Quality-aware keep over MAINTAINED components: the merged
+    cross-snapshot cluster keeps its highest-quality member even when
+    that member lives in the CATALOG (its text long gone — only the
+    stored score decides)."""
+    from textalyzer_spark.operators.near_dedup import quality_keep
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    B = A + " lambda mu"
+    C = "epsilon zeta eta theta iota kappa lambda mu nu xi"
+    snap1 = spark.createDataFrame(
+        [(1, A), (2, B), (30, "wholly unrelated text about volcano ash")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, C), (130, "another unrelated piece about tidal flats")],
+        "doc_id bigint, text string",
+    )
+    kw = dict(k=3, num_hashes=64, bands=32, threshold=0.35, seed=42)
+    cat = inc.minhash_component_catalog(snap1, **kw)
+    # stored quality: the cataloged doc 2 is the best of the chain
+    quality = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (30, 0.5), (101, 0.6), (130, 0.2)],
+        "doc_id bigint, quality_score double",
+    )
+    labels = inc.incremental_near_dup_components(batch, cat, **kw)
+    out = {r["doc_id"]: (r["component"], r["keep"])
+           for r in quality_keep(labels, quality).collect()}
+    assert out[2] == (1, True)       # cataloged best survives
+    assert out[1] == (1, False) and out[101] == (1, False)
+    assert out[30] == (30, True) and out[130] == (130, True)

@@ -137,6 +137,14 @@ def near_dedup(
         from textalyzer_spark.operators.quality import quality_score
 
         quality = quality_score(df, id_col=id_col, text_col=text_col)
+    return quality_keep(labels, quality)
+
+
+def quality_keep(labels: DataFrame, quality: DataFrame) -> DataFrame:
+    """The quality keep rule over ANY ``(doc_id, component)`` label
+    table (single-corpus near_dedup or the incremental maintenance
+    labels): highest ``quality_score`` per component survives, tie ->
+    minimal doc_id; missing scores rank below every real score."""
     q = quality.select(
         F.col("doc_id"), F.col("quality_score").alias("_q")
     )

@@ -569,6 +569,31 @@ def incremental_near_dup_groups_sql(
     snapshots — the cross-snapshot cluster-MAINTENANCE result: a
     chain A~B (snapshot 1) + B~C (snapshot 2) lands in ONE component.
     """
+    ctes = incremental_near_dup_cc_ctes(
+        k, num_hashes, bands, threshold, seed, max_bucket_docs,
+        old_where, new_where,
+    )
+    return f"""
+        WITH RECURSIVE {ctes}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
+    """
+
+
+def incremental_near_dup_cc_ctes(
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    seed: int = 42,
+    max_bucket_docs: int = 1000,
+    old_where: str = "WHERE doc_id % 2 = 0",
+    new_where: str = "WHERE doc_id % 2 = 1",
+) -> str:
+    """The union-labeling CTE chain of
+    :func:`incremental_near_dup_groups_sql` (no leading ``WITH``,
+    ends in ``cc_labels``) — shared with the incremental
+    quality-keep oracle, which joins a keep rule on top."""
     params = minhash_params_cte(num_hashes, seed)
     o = minhash_pairs_ctes(
         k, num_hashes, bands, threshold, seed, max_bucket_docs,
@@ -581,8 +606,7 @@ def incremental_near_dup_groups_sql(
     cc = connected_components_ctes(
         pairs_cte="all_pairs", docs_select="SELECT doc_id FROM documents"
     )
-    return f"""
-        WITH RECURSIVE {params}, {o}, {n}, xokb AS (
+    return f"""{params}, {o}, {n}, xokb AS (
           -- combined catalog + batch bucket occupancy guard
           SELECT band, bucket FROM (
             SELECT band, bucket FROM o_bnd
@@ -610,10 +634,7 @@ def incremental_near_dup_groups_sql(
           SELECT doc_a, doc_b FROM n_mh_pairs
           UNION
           SELECT doc_a, doc_b FROM x_pairs
-        ), {cc}
-        SELECT doc_id, component, doc_id = component AS keep
-        FROM cc_labels
-    """
+        ), {cc}"""
 
 
 def incremental_simhash_groups_sql(
