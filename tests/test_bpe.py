@@ -122,3 +122,32 @@ def test_train_end_to_end_spark(spark):
     # per-word frequencies are uniform (12 each): ranking falls to the
     # pair totals exactly as in the hand example scaled
     assert ("e", "s") in merges[:2]
+
+
+def test_merge_table_roundtrip_and_frozen_apply(spark, tmp_path):
+    """Deployment shape: train once, persist, reload, count a LATER
+    batch under the frozen table — identical counts to the in-memory
+    table, including non-ASCII merges through the JSON roundtrip."""
+    from textalyzer_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        load_merges,
+        save_merges,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "lower lowest löwe löwen newest widest"),
+         (2, "newest newest lowest löwe")],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_train(corpus, n_merges=40)
+    path = str(tmp_path / "merges.json")
+    save_merges(merges, path)
+    assert load_merges(path) == merges
+    batch = spark.createDataFrame(
+        [(10, "unseen löwenzahn lowest wide")],
+        "doc_id bigint, text string",
+    )
+    a = bpe_token_counts(batch, merges).collect()
+    b = bpe_token_counts(batch, load_merges(path)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -279,3 +279,25 @@ def test_streaming_stateless_twins_have_no_state_operator(spark, tmp_path, docs)
         assert not (
             query.lastProgress and query.lastProgress["stateOperators"]
         ), f"twin {i} has state operators"
+
+
+def test_incremental_maintenance_final_stage_is_clean(spark, docs):
+    """The maintenance gate queries' final plans: no CartesianProduct
+    and no SortMergeJoin anywhere — the label join broadcasts and
+    every candidate join upstream is bucketed (materialized stages
+    were audited at build time; this pins the observable plan)."""
+    import __spark_entry__ as em
+
+    for name in (
+        "incremental_near_dup_groups",
+        "incremental_simhash_groups",
+        "incremental_embedding_groups",
+    ):
+        plan = (
+            em.queries()[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name

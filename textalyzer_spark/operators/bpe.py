@@ -221,6 +221,26 @@ def bpe_token_counts(
     )
 
 
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge table as JSON (rank order preserved) —
+    the deployment shape: train ONCE on a corpus sample, freeze, and
+    count with the same table across every later batch/stream (a
+    table retrained per batch would make token counts incomparable
+    across snapshots)."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump([[a, b] for a, b in merges], fh, ensure_ascii=False)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a :func:`save_merges` table, rank order preserved."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        return [(a, b) for a, b in json.load(fh)]
+
+
 def token_counts_bpe_learned(
     df: DataFrame,
     n_merges: int = 100,
