@@ -740,6 +740,58 @@ def q_pipeline_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pipeline WITH a decontamination stage — the
+    full pre-training recipe: the held-out benchmark (doc_id % 97 ==
+    0, raw text) must not leak into the training sample, so after
+    redaction every doc sharing ANY 5-gram occurrence with the
+    benchmark is dropped (GPT-3 appendix-C style), then exact dedup →
+    near-dup resolution → stratified sample as in
+    q_pipeline_clean_sample. Output: kept (doc_id, clean_md5, u)."""
+    from textalyzer_spark.operators.dedup import contamination_stats
+    from textalyzer_spark.operators.near_dedup import near_dedup
+    from textalyzer_spark.operators.pii import redact_pii, synthesize_pii
+    from textalyzer_spark.operators.quality import lang_id, quality_score
+    from textalyzer_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    pdoc = synthesize_pii(docs.filter(F.col("doc_id") % 97 != 0))
+    qkeep = (
+        quality_score(pdoc)
+        .filter(F.col("quality_score") >= PIPELINE_QMIN)
+        .select("doc_id")
+    )
+    clean = redact_pii(pdoc.join(qkeep, "doc_id")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    decont = clean.join(
+        contamination_stats(clean, bench, k=5)
+        .filter(F.col("n_contaminated") == 0)
+        .select("doc_id"),
+        "doc_id",
+    )
+    keep_exact = (
+        decont.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = decont.join(keep_exact, "doc_id")
+    # multi-ACTION barrier (same A/B rationale as pipeline_clean_sample)
+    deduped = deduped.localCheckpoint()
+    nd = near_dedup(
+        deduped, method="minhash", k=5, num_hashes=32, bands=8,
+        threshold=0.1,
+    )
+    kept = deduped.join(nd.filter("keep").select("doc_id"), "doc_id")
+    lang = lang_id(kept).select("doc_id", "pred_lang")
+    samp = stratified_sample(
+        kept.join(lang, "doc_id"), "pred_lang", MIX_RATES,
+        MIX_DEFAULT_RATE, salt=MIX_SALT,
+    )
+    return samp.select("doc_id", F.md5("text").alias("clean_md5"), "u")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection (decontamination step):
     docs with doc_id % 97 == 0 play the held-out benchmark; every
@@ -996,6 +1048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_keep_quality": q_near_dup_keep_quality,
     "pii_redaction": q_pii_redaction,
     "pipeline_clean_sample": q_pipeline_clean_sample,
+    "pipeline_decontaminated": q_pipeline_decontaminated,
     "corpus_mixture": q_corpus_mixture,
     "contamination": q_contamination,
     "contamination_by_benchmark": q_contamination_by_benchmark,
@@ -1355,6 +1408,68 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {MIX_DEFAULT_RATE} END
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "pipeline_decontaminated": f"""
+            WITH RECURSIVE {_pii_pdoc_cte(
+                "(SELECT * FROM documents WHERE doc_id % 97 <> 0)"
+            )}, p0 AS (
+              SELECT doc_id, t AS text FROM pdoc
+            ), {_quality_ctes(_toks, source="p0")}, gated AS (
+              SELECT p.doc_id, p.text
+              FROM p0 p JOIN qscore q USING (doc_id)
+              WHERE q.quality_score >= {PIPELINE_QMIN}
+            ), clean AS (
+              SELECT doc_id, {_pii_masked_expr("text")} AS text FROM gated
+            ), ctoks AS (
+              SELECT doc_id, {_toks} AS toks FROM clean
+            ), tg5 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM ctoks
+            ), bmg5 AS (
+              SELECT DISTINCT
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM (
+                SELECT {_toks} AS toks FROM documents WHERE doc_id % 97 = 0
+              )
+            ), contam AS (
+              SELECT DISTINCT t.doc_id FROM tg5 t JOIN bmg5 b ON b.g = t.g
+            ), decont AS (
+              SELECT c.doc_id, c.text FROM clean c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM contam x WHERE x.doc_id = c.doc_id
+              )
+            ), keepx AS (
+              SELECT min(doc_id) AS doc_id FROM decont GROUP BY md5(text)
+            ), corpus AS (
+              SELECT c.doc_id, c.text FROM decont c JOIN keepx USING (doc_id)
+            ), {_o.minhash_pairs_ctes(
+                k=5, num_hashes=32, bands=8, threshold=0.1, seed=42,
+                source="corpus",
+            )}, {_o.connected_components_ctes(
+                docs_select="SELECT doc_id FROM corpus"
+            )}, surv AS (
+              SELECT doc_id FROM cc_labels WHERE doc_id = component
+            ), sdocs AS (
+              SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)
+            ), {_lang_ctes(_toks, source="sdocs")}
+            SELECT s.doc_id, md5(s.text) AS clean_md5,
+                   CAST(md5_number_upper('{MIX_SALT}'
+                        || CAST(s.doc_id AS VARCHAR)) AS DOUBLE)
+                     / 18446744073709551616.0 AS u
+            FROM sdocs s JOIN lang USING (doc_id)
+            WHERE CAST(md5_number_upper('{MIX_SALT}'
+                       || CAST(s.doc_id AS VARCHAR)) AS DOUBLE)
+                    / 18446744073709551616.0
+                  < CASE pred_lang
+                      {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
+                      ELSE {MIX_DEFAULT_RATE} END
+        """,
         "pipeline_clean_sample": f"""
             WITH RECURSIVE {_pii_pdoc_cte()}, p0 AS (
               SELECT doc_id, t AS text FROM pdoc

@@ -80,6 +80,7 @@ def main() -> None:
         "contamination_by_benchmark",
         "pii_redaction",
         "pipeline_clean_sample",
+        "pipeline_decontaminated",
         "incremental_exact_dedup",
         "incremental_minhash",
         "incremental_simhash",

@@ -96,3 +96,28 @@ def test_full_pipeline_two_crawls(spark, tmp_path):
     )
     assert n2 == 2
     assert inc.read_catalog(spark, base_dir).count() == cat.count() + 1
+
+
+def test_clean_corpus_library_call(spark):
+    """api.clean_corpus — the whole pipeline as one call: drops the
+    spam doc (quality), the exact dup, one of the near-dup pair, the
+    benchmark-contaminated doc, and redacts the PII doc's email."""
+    from textalyzer_spark.api import clean_corpus
+
+    docs = _crawl1(spark)
+    bench = spark.createDataFrame(
+        [(900, "completely different article about glaciers in patagonia "
+               "and the slow carving of deep fjords over millennia")],
+        "doc_id bigint, text string",
+    )
+    out = clean_corpus(
+        docs, quality_min=0.5, near_dup_method="jaccard", k=3,
+        threshold=0.4, decontaminate_against=bench,
+        contamination_k=5,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # 2 exact-dups 1 (dropped); {1,3} near-dup cluster keeps min id 1;
+    # 10 is verbatim in the benchmark (dropped); 20 fails quality;
+    # 11 survives WITH its email redacted
+    assert set(rows) == {1, 11}
+    assert "<EMAIL>" in rows[11] and "example.net" not in rows[11]

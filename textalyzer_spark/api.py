@@ -60,6 +60,75 @@ def duplication(
     ]
 
 
+def clean_corpus(
+    df,
+    quality_min: float = 0.7,
+    near_dup_method: str = "minhash",
+    keep: str = "min_id",
+    sample_rate: float = 1.0,
+    decontaminate_against=None,
+    contamination_k: int = 5,
+    salt: str = "pipeline",
+    **near_dup_kwargs,
+):
+    """The end-to-end training-data cleaning pipeline as ONE library
+    call over a ``(doc_id, text)`` DataFrame — the composition the
+    gate queries ``pipeline_clean_sample`` / ``pipeline_decontaminated``
+    verify value-exactly against DuckDB:
+
+      quality filter (>= ``quality_min``)
+      → PII redaction
+      → optional decontamination vs ``decontaminate_against``
+        (a benchmark ``(doc_id, text)`` DataFrame; docs sharing ANY
+        ``contamination_k``-gram occurrence are dropped)
+      → exact dedup (keep min doc_id per md5)
+      → near-dup cluster resolution (``near_dup_method``/``keep``)
+      → deterministic hash sample at ``sample_rate``
+
+    Returns the kept ``(doc_id, text)`` rows — clean text, ready to
+    write. Every stage is a scan filter or an already-bounded dedup
+    operator; the one explicit barrier is the multi-action
+    localCheckpoint before the near-dup fan-out (BENCH.md A/B)."""
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.near_dedup import near_dedup
+    from textalyzer_spark.operators.pii import redact_pii
+    from textalyzer_spark.operators.quality import quality_score
+    from textalyzer_spark.operators.sampling import hash_sample
+
+    qkeep = (
+        quality_score(df)
+        .filter(F.col("quality_score") >= quality_min)
+        .select("doc_id")
+    )
+    clean = redact_pii(df.join(qkeep, "doc_id")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    if decontaminate_against is not None:
+        from textalyzer_spark.operators.dedup import contamination_stats
+
+        clean = clean.join(
+            contamination_stats(
+                clean, decontaminate_against, k=contamination_k
+            )
+            .filter(F.col("n_contaminated") == 0)
+            .select("doc_id"),
+            "doc_id",
+        )
+    keep_exact = (
+        clean.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = clean.join(keep_exact, "doc_id").localCheckpoint()
+    nd = near_dedup(deduped, method=near_dup_method, keep=keep,
+                    **near_dup_kwargs)
+    kept = deduped.join(nd.filter("keep").select("doc_id"), "doc_id")
+    if sample_rate >= 1.0:
+        return kept
+    return hash_sample(kept, sample_rate, salt=salt)
+
+
 def duplication_report(
     spark: SparkSession,
     texts: dict[str, str],
