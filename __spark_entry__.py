@@ -480,6 +480,17 @@ def _line_structured_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (Raffel et al. 2020 §2.2) over the
+    synthesized line corpus: drop every line covered by a non-first
+    occurrence of a duplicated 3-line span, rebuild each document.
+    One row per input doc: (doc_id, text, n_lines_kept,
+    n_lines_removed)."""
+    from textalyzer_spark.operators.span_dedup import span_dedup
+
+    return span_dedup(_line_structured_docs(spark, sf_dir), n=3)
+
+
 def q_duplicate_blocks_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship operator END-TO-END: candidates + the greedy
     overlap-resolution stage (reference duplication.rs:298-336), one
@@ -1023,6 +1034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "duplicate_block_candidates": q_duplicate_block_candidates,
     "duplicate_blocks_resolved": q_duplicate_blocks_resolved,
+    "span_dedup": q_span_dedup,
     "duplicate_lines": q_duplicate_lines,
     "html_main_content": q_html_main_content,
     "pdf_extract_text": q_pdf_extract_text,
@@ -1135,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
             max_locations_per_line=1000, min_lines=3
         ),
         "duplicate_lines": _o.duplicate_lines_sql(min_bytes=6),
+        "span_dedup": _o.span_dedup_sql(n=3),
         "html_main_content": _o.html_main_content_sql(),
         "word_frequency": _o.word_frequency_sql(),
         "span_word_frequency": _o.word_frequency_sql(),

@@ -81,6 +81,7 @@ def main() -> None:
         "pii_redaction",
         "pipeline_clean_sample",
         "pipeline_decontaminated",
+        "span_dedup",
         "incremental_exact_dedup",
         "incremental_minhash",
         "incremental_simhash",

@@ -1189,6 +1189,67 @@ def duplicate_lines_sql(min_bytes: int = 6) -> str:
     """
 
 
+def span_dedup_sql(n: int = 3) -> str:
+    """Twin of :func:`operators.span_dedup.span_dedup` over the
+    synthesized line corpus: every line covered by a non-first
+    occurrence (min ``(doc_id, start)``) of a duplicated ``n``-line
+    span is dropped; documents are rebuilt from surviving lines.
+    Output ``(doc_id, text, n_lines_kept, n_lines_removed)``. The
+    oracle's first-occurrence pick is a row_number window (fine for
+    an oracle; the engine uses a skew-safe min(struct) hash agg —
+    identical semantics, ``(doc_id, start)`` is unique)."""
+    prefix = _dup_candidates_ctes().split("), ne AS (")[0]
+    content = " || chr(10) || ".join(
+        ["line"] + [f"lead(line, {i}) OVER sdw" for i in range(1, n)]
+    )
+    last = f"lead(line, {n - 1}) OVER sdw" if n > 1 else "line"
+    offs = ", ".join(str(i) for i in range(n))
+    return f"""
+        WITH {prefix}
+        ), sp0 AS (
+          SELECT doc_id, line_number AS start,
+                 {content} AS content, {last} AS last_l
+          FROM lines
+          WINDOW sdw AS (PARTITION BY doc_id ORDER BY line_number)
+        ), sp AS (
+          SELECT doc_id, start, md5(content) AS h
+          FROM sp0 WHERE last_l IS NOT NULL
+        ), ranked AS (
+          SELECT doc_id, start,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, start) AS rn
+          FROM sp
+        ), remspan AS (
+          SELECT doc_id, start FROM ranked WHERE rn > 1
+        ), remline AS (
+          SELECT DISTINCT doc_id, start + i AS line_number
+          FROM remspan, (SELECT unnest([{offs}]) AS i) offsets
+        ), keptl AS (
+          SELECT l.doc_id, l.line_number, l.line
+          FROM lines l
+          WHERE NOT EXISTS (
+            SELECT 1 FROM remline r
+            WHERE r.doc_id = l.doc_id AND r.line_number = l.line_number
+          )
+        ), reb AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY line_number) AS text,
+                 count(*) AS n_lines_kept
+          FROM keptl GROUP BY doc_id
+        ), nrem AS (
+          SELECT doc_id, count(*) AS n_lines_removed
+          FROM remline GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.text, '') AS text,
+               CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+               CAST(coalesce(m.n_lines_removed, 0) AS BIGINT)
+                 AS n_lines_removed
+        FROM docs d
+        LEFT JOIN reb r USING (doc_id)
+        LEFT JOIN nrem m USING (doc_id)
+    """
+
+
 def duplicate_blocks_resolved_sql(
     max_locations_per_line: int = 1000,
     min_lines: int = 3,
