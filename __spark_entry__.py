@@ -139,6 +139,10 @@ def _lang_ctes(toks_expr: str, source: str = "documents") -> str:
 MIX_RATES = {"en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
 MIX_DEFAULT_RATE = 0.2
 MIX_SALT = "mix-v1"
+#: the solver-driven sampling gate fixture: desired token-mass mixture
+#: (the solver turns this + the measured corpus_mixture into rates)
+MIX_TARGET = {"en": 0.8, "unk": 0.2}
+MIX_PLAN_SALT = "mixplan-v1"
 #: the end-to-end pipeline gate's quality-filter threshold (drops
 #: ~10% of the sf corpus — a real filter, not a pass-through)
 PIPELINE_QMIN = 0.7
@@ -675,6 +679,73 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mixture(joined, "pred_lang")
 
 
+def _mixture_planned_sample_sql(toks_expr: str) -> str:
+    """Oracle twin of q_mixture_planned_sample: re-derives the
+    solver's per-bucket rates in SQL with the solver's exact float
+    operation order — T* = min_b(avail_b / share_b), rate_b =
+    (T* * share_b) / avail_b — over its own mixture aggregate, so
+    every u < rate boundary decision is bit-identical to the engine's
+    Python-solved literal rates."""
+    tot = sum(v for v in MIX_TARGET.values() if v > 0)
+    tgt = {k: v / tot for k, v in MIX_TARGET.items() if v > 0}
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in tgt.items())
+    u = (
+        f"CAST(md5_number_upper('{MIX_PLAN_SALT}' || "
+        "CAST(l.doc_id AS VARCHAR)) AS DOUBLE) / 18446744073709551616.0"
+    )
+    return f"""
+        WITH {_lang_ctes(toks_expr)}, per AS (
+          SELECT pred_lang AS bucket,
+                 CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+          FROM lang JOIN lt USING (doc_id)
+          GROUP BY 1
+        ), tgt(bucket, share) AS (VALUES {vals}),
+        feas AS (
+          SELECT min(CAST(coalesce(p.n_tokens, 0) AS DOUBLE) / t.share)
+                   AS t_star
+          FROM tgt t LEFT JOIN per p USING (bucket)
+        ), rates AS (
+          SELECT t.bucket,
+                 CASE WHEN coalesce(p.n_tokens, 0) > 0
+                      THEN (SELECT t_star FROM feas) * t.share
+                             / CAST(p.n_tokens AS DOUBLE)
+                      ELSE 0.0 END AS rate
+          FROM tgt t LEFT JOIN per p USING (bucket)
+        )
+        SELECT l.doc_id, l.pred_lang, {u} AS u
+        FROM lang l LEFT JOIN rates r ON r.bucket = l.pred_lang
+        WHERE {u} < coalesce(r.rate, 0.0)
+    """
+
+
+def q_mixture_planned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solver-driven stratified sampling: measure the corpus mixture,
+    SOLVE per-language keep rates for the MIX_TARGET token mixture
+    (T* water-fill — scarcest bucket kept at 1.0, the rest downsample
+    proportionally), apply them. The oracle re-derives the rates in
+    SQL from its own mixture aggregate with the identical operation
+    order, so the float boundary decisions are bit-exact. Collects one
+    row per stratum (languages — never corpus-sized) to run the pure
+    solver on the driver."""
+    from textalyzer_spark.operators.quality import lang_id
+    from textalyzer_spark.operators.sampling import (
+        corpus_mixture,
+        solve_rates_from_mixture_report,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    joined = docs.join(lang, "doc_id")
+    rates = solve_rates_from_mixture_report(
+        corpus_mixture(joined, "pred_lang"), MIX_TARGET, mass_col="n_tokens"
+    )
+    samp = stratified_sample(
+        joined, "pred_lang", rates, 0.0, salt=MIX_PLAN_SALT
+    )
+    return samp.select("doc_id", "pred_lang", "u")
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub roundtrip (the extraction-family pattern): each doc
     gains a deterministic doc_id-derived contact footer (email + IPv4
@@ -1062,6 +1133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_clean_sample": q_pipeline_clean_sample,
     "pipeline_decontaminated": q_pipeline_decontaminated,
     "corpus_mixture": q_corpus_mixture,
+    "mixture_planned_sample": q_mixture_planned_sample,
     "contamination": q_contamination,
     "contamination_by_benchmark": q_contamination_by_benchmark,
     "incremental_exact_dedup": q_incremental_exact_dedup,
@@ -1518,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
                       {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
                       ELSE {MIX_DEFAULT_RATE} END
         """,
+        "mixture_planned_sample": _mixture_planned_sample_sql(_toks),
         "corpus_mixture": f"""
             WITH {_lang_ctes(_toks)}, per AS (
               SELECT pred_lang AS bucket,

@@ -82,6 +82,7 @@ def main() -> None:
         "pipeline_clean_sample",
         "pipeline_decontaminated",
         "span_dedup",
+        "mixture_planned_sample",
         "incremental_exact_dedup",
         "incremental_minhash",
         "incremental_simhash",
