@@ -560,3 +560,88 @@ def test_streaming_stateless_twins_match_batch(spark, tmp_path):
     # the planted benchmark 5-gram is detected through the stream path
     cont = by_id(got["cont"])["d3"]
     assert cont[1] >= 1 and cont[2] > 0
+
+
+def test_streaming_catalog_maintenance_exact(spark, tmp_path):
+    """Continuous exact-dedup catalog maintenance: per-batch survivors
+    + one committed snapshot per micro-batch; cross-run restart from
+    the checkpoint continues the slot sequence; the union of per-batch
+    survivors equals the batch-path dedup of the union corpus."""
+    from textalyzer_spark.operators import incremental as inc
+    from textalyzer_spark.streaming.jobs import streaming_catalog_maintenance
+
+    inp = str(tmp_path / "in")
+    cat = str(tmp_path / "cat")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    # batch 0: docs 1,2 + intra-batch duplicate 3
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(inp)
+    streaming_catalog_maintenance(spark, inp, cat, out, ckpt)
+    assert inc.latest_catalog_snapshot(spark, cat) == 1
+    b0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert b0 == {1, 2}
+
+    # batch 1 (same checkpoint): dup-of-1 (10) + new doc (11)
+    spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(inp)
+    streaming_catalog_maintenance(spark, inp, cat, out, ckpt)
+    assert inc.latest_catalog_snapshot(spark, cat) == 2
+    b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert b1 == {11}
+    assert spark.read.parquet(f"{cat}/snapshot=2").count() == 3
+
+    # slot-bounded replay: recomputing batch 1 against the catalog
+    # "as of before its slot" (snapshot 1, NOT the already-committed
+    # snapshot 2) re-derives the same survivors — crash idempotency
+    prev = inc.latest_catalog_snapshot(spark, cat, max_snapshot=1)
+    assert prev == 1
+    replay = inc.incremental_exact_dedup(
+        spark.createDataFrame(
+            [(10, "alpha text"), (11, "gamma text")],
+            "doc_id bigint, text string",
+        ),
+        spark.read.parquet(f"{cat}/snapshot={prev}"),
+    )
+    assert {r["doc_id"] for r in replay.collect()} == b1
+
+
+def test_streaming_catalog_maintenance_minhash(spark, tmp_path):
+    """Minhash signature-catalog maintenance: batch-2 near-dups of
+    batch-1 docs surface as cross-snapshot pairs; every ingested doc's
+    signature lands in the catalog (NULL for shingle-less)."""
+    from textalyzer_spark.operators import incremental as inc
+    from textalyzer_spark.streaming.jobs import streaming_catalog_maintenance
+
+    inp = str(tmp_path / "in")
+    cat = str(tmp_path / "cat")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(1, base), (2, "completely different words about other topics here")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(inp)
+    kw = dict(k=3, num_hashes=16, bands=8, threshold=0.3, seed=7)
+    streaming_catalog_maintenance(
+        spark, inp, cat, out, ckpt, method="minhash", **kw
+    )
+    assert spark.read.parquet(f"{out}/batch=0").count() == 0  # empty catalog
+    assert spark.read.parquet(f"{cat}/snapshot=1").count() == 2
+
+    spark.createDataFrame(
+        [(10, base + " extra"), (11, ""), (12, "unrelated fresh content")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(inp)
+    streaming_catalog_maintenance(
+        spark, inp, cat, out, ckpt, method="minhash", **kw
+    )
+    pairs = spark.read.parquet(f"{out}/batch=1").collect()
+    assert {(r["doc_old"], r["doc_new"]) for r in pairs} == {(1, 10)}
+    snap2 = spark.read.parquet(f"{cat}/snapshot=2")
+    assert snap2.count() == 5  # every ingested doc, incl. shingle-less 11
+    assert snap2.filter("signature IS NULL").count() == 1

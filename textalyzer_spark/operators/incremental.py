@@ -672,8 +672,14 @@ def write_catalog_snapshot(catalog: DataFrame, base_dir: str) -> int:
     return n
 
 
-def latest_catalog_snapshot(spark: SparkSession, base_dir: str) -> int:
-    """Highest COMMITTED (``_SUCCESS``-marked) snapshot id, or 0."""
+def latest_catalog_snapshot(
+    spark: SparkSession, base_dir: str, max_snapshot: int | None = None
+) -> int:
+    """Highest COMMITTED (``_SUCCESS``-marked) snapshot id, or 0.
+    ``max_snapshot`` bounds the search (ids above it are ignored) —
+    the streaming maintenance job reads "the catalog as of before MY
+    slot" so a crash-replayed micro-batch re-derives identical output
+    even when later snapshots were already committed."""
     import os
 
     best = 0
@@ -684,6 +690,8 @@ def latest_catalog_snapshot(spark: SparkSession, base_dir: str) -> int:
             try:  # tolerate foreign dirs, e.g. snapshot=tmp (VERDICT r5)
                 n = int(name.split("=", 1)[1])
             except ValueError:
+                continue
+            if max_snapshot is not None and n > max_snapshot:
                 continue
             if os.path.exists(os.path.join(base_dir, name, "_SUCCESS")):
                 best = max(best, n)

@@ -429,6 +429,104 @@ def streaming_near_dup(
     )
 
 
+def streaming_catalog_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    catalog_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    method: str = "exact",
+    schema: str = "doc_id bigint, text string",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_docs: int | None = 1000,
+) -> None:
+    """Continuous dedup-catalog maintenance: the streaming twin of the
+    incremental batch path (operators/incremental.py), one committed
+    catalog snapshot per micro-batch.
+
+    Per batch N (foreachBatch): read the catalog as of *before* slot
+    N+1 (``latest_catalog_snapshot(max_snapshot=N)``), dedup the batch
+    against it, write the batch's output to ``output_dir/batch=N``
+    (mode=overwrite), and commit the union catalog to
+    ``catalog_dir/snapshot=N+1``. Because the prior-catalog read is
+    slot-bounded and both writes are deterministic overwrites of
+    batch-addressed paths, a crash-replayed micro-batch re-derives
+    byte-identical output even when its own catalog commit already
+    landed — exactly-once semantics without a transactional sink.
+    Micro-batch ids are monotone across restarts from one checkpoint,
+    so snapshot ids never collide.
+
+    ``method='exact'``: output = batch survivors ``(doc_id,
+    fingerprint)``; catalog = fingerprints. ``method='minhash'``:
+    output = cross-snapshot near-dup pairs ``(doc_old, doc_new,
+    est_jaccard)``; catalog = signatures of EVERY ingested doc
+    (NULL for shingle-less — the band join filters them, the pinned
+    component-catalog rule)."""
+    from textalyzer_spark.operators import incremental as inc
+
+    if method not in ("exact", "minhash"):
+        raise ValueError(f"unknown method {method!r}")
+    stream = _stream(spark, input_dir, schema=schema)
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        slot = int(batch_id) + 1
+        prev = inc.latest_catalog_snapshot(
+            sp, catalog_dir, max_snapshot=slot - 1
+        )
+        if method == "exact":
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame(
+                    [], "fingerprint string, keep_id bigint"
+                )
+            )
+            # output + catalog are two ACTIONS over the survivors —
+            # the derived-corpus barrier rule (BENCH.md A/B)
+            out = inc.incremental_exact_dedup(batch_df, cat).localCheckpoint()
+            new_cat = inc.updated_exact_catalog(cat, out)
+        else:
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame(
+                    [], "doc_id bigint, signature array<bigint>"
+                )
+            )
+            # every ingested doc gets a catalog row — shingle-less docs
+            # carry NULL signatures (the pinned component-catalog rule;
+            # minhash_catalog itself has no row for them), which the
+            # band join filters out
+            sigs = (
+                batch_df.select("doc_id")
+                .join(inc.minhash_catalog(batch_df, k, num_hashes, seed),
+                      "doc_id", "left")
+                .localCheckpoint()  # one signature build feeds pairs AND catalog
+            )
+            out = inc._cross_pairs_from_sigs(
+                sigs.filter(F.col("signature").isNotNull()),
+                cat, num_hashes, bands, threshold, max_bucket_docs,
+            )
+            new_cat = cat.unionByName(sigs)
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+        new_cat.write.mode("overwrite").parquet(
+            f"{catalog_dir}/snapshot={slot}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_completion_foreach(
     stream_df: DataFrame,
     checkpoint_dir: str,
