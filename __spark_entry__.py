@@ -1092,7 +1092,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.35)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality filter (Wenzek 2020): add-one unigram
+    LM trained on the lang='en' slice, every document scored by
+    average per-token negative log-likelihood, kept below 3.405 nats.
+    Cross-engine-exact by construction: glibc-ln micro-nat
+    quantization over the vocab table only, int64 per-doc sums
+    (operators/lm.py module docstring; oracle re-trains in SQL)."""
+    from textalyzer_spark.operators.lm import lm_perplexity
+
+    return lm_perplexity(
+        _docs(spark, sf_dir),
+        train_filter=F.col("lang") == "en",
+        max_avg_nll=3.405,
+    )
+
+
+def q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated add-one bigram/unigram LM (Jelinek-Mercer,
+    lam=0.75) over the same train slice; ln once per distinct bigram
+    TYPE, per-doc exact occ*ll int64 dot product."""
+    from textalyzer_spark.operators.lm import lm_perplexity_bigram
+
+    return lm_perplexity_bigram(
+        _docs(spark, sf_dir),
+        train_filter=F.col("lang") == "en",
+        lam=0.75,
+        max_avg_nll=3.41,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lm_perplexity": q_lm_perplexity,
+    "lm_perplexity_bigram": q_lm_perplexity_bigram,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
@@ -1168,6 +1200,12 @@ def oracle_sql() -> dict[str, str]:
     from textalyzer_spark import oracles as _o
 
     generated = {
+        "lm_perplexity": _o.lm_perplexity_sql(
+            train_where="lang = 'en'", max_avg_nll=3.405
+        ),
+        "lm_perplexity_bigram": _o.lm_perplexity_bigram_sql(
+            train_where="lang = 'en'", lam=0.75, max_avg_nll=3.41
+        ),
         "minhash_lsh": _o.minhash_lsh_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),

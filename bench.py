@@ -67,6 +67,8 @@ def main() -> None:
         "lang_id",
         "repetition_stats",
         "bigram_novelty",
+        "lm_perplexity",
+        "lm_perplexity_bigram",
         "stratified_sample",
         "corpus_mixture",
         "fingerprint",

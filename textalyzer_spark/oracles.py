@@ -1551,3 +1551,157 @@ def line_display_width_sql() -> str:
         GROUP BY 1
         ORDER BY 1
     """
+
+
+# --------------------------------------------------------------------------
+# n-gram LM perplexity (operators/lm.py: lm_perplexity / _bigram)
+# --------------------------------------------------------------------------
+
+_WS_SQL = r"[ \t\n\r\f\x0b]+"  # alphabet.WS_SPLIT, identical in all engines
+
+
+def lm_perplexity_sql(
+    train_where: str = "lang = 'en'", max_avg_nll: float = 5.0
+) -> str:
+    """Twin of ``lm.lm_perplexity``: re-trains the add-one unigram LM
+    in SQL over ``documents WHERE {train_where}``, quantizes each
+    log-probability with the SAME glibc-``ln`` micro-nat floor
+    (DuckDB ``ln`` == ``math.log`` bit-exact — pinned by
+    tests/test_lm.py::test_glibc_ln_parity), integer-sums per
+    document, and emits the identical exact-int-ratio ``avg_nll``."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, t
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                      x -> x <> '')) AS t
+            FROM documents
+          )
+        ), vocab AS (
+          SELECT t AS token, count(*) AS cnt
+          FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                      x -> x <> '')) AS t
+            FROM documents WHERE {train_where}
+          ) GROUP BY 1
+        ), tot AS (
+          SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total,
+                 count(*) AS v
+          FROM vocab
+        ), lm AS (
+          SELECT token,
+                 CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+                               / CAST(total + v AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS ll
+          FROM vocab, tot
+        ), oovv AS (
+          SELECT CAST(floor(ln(1.0 / CAST(total + v AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS ll
+          FROM tot
+        ), per AS (
+          SELECT toks.doc_id,
+                 CAST(count(*) AS INTEGER) AS n_tokens,
+                 CAST(sum(coalesce(lm.ll, (SELECT ll FROM oovv)))
+                      AS BIGINT) AS sum_ll_micro
+          FROM toks LEFT JOIN lm ON toks.t = lm.token
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               CAST(coalesce(per.sum_ll_micro, 0) AS BIGINT) AS sum_ll_micro,
+               CASE WHEN per.n_tokens > 0
+                    THEN CAST(-per.sum_ll_micro AS DOUBLE)
+                         / (1000000.0 * CAST(per.n_tokens AS DOUBLE))
+               END AS avg_nll,
+               CASE WHEN per.n_tokens > 0
+                     AND CAST(-per.sum_ll_micro AS DOUBLE)
+                         / (1000000.0 * CAST(per.n_tokens AS DOUBLE))
+                         <= {max_avg_nll!r}
+                    THEN TRUE ELSE FALSE END AS keep
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+
+def lm_perplexity_bigram_sql(
+    train_where: str = "lang = 'en'",
+    lam: float = 0.75,
+    max_avg_nll: float = 5.0,
+) -> str:
+    """Twin of ``lm.lm_perplexity_bigram``: interpolated add-one
+    bigram/unigram mix re-trained in SQL; ``ln`` applied once per
+    distinct bigram type with the same micro-nat floor, the per-doc
+    sum an exact ``occ * ll`` int64 dot product. The interpolation
+    weights are embedded with ``repr`` so both engines evaluate the
+    identical IEEE chain ``lam*p2 + (1-lam)*p1``."""
+    one_minus = 1.0 - lam
+    return f"""
+        WITH dt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '{_WS_SQL}'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), bgidx AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+          FROM dt WHERE len(toks) >= 2
+        ), bg AS (
+          SELECT doc_id, toks[i] AS ctx, toks[i + 1] AS nxt FROM bgidx
+        ), tdt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '{_WS_SQL}'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE {train_where}
+        ), tbgidx AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+          FROM tdt WHERE len(toks) >= 2
+        ), bicnt AS (
+          SELECT toks[i] AS ctx, toks[i + 1] AS nxt, count(*) AS cnt2
+          FROM tbgidx GROUP BY 1, 2
+        ), vocab AS (
+          SELECT t AS token, count(*) AS cnt
+          FROM (
+            SELECT unnest(toks) AS t FROM tdt
+          ) GROUP BY 1
+        ), tot AS (
+          SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total,
+                 count(*) AS v
+          FROM vocab
+        ), types AS (
+          SELECT DISTINCT ctx, nxt FROM bg
+        ), tll AS (
+          SELECT t.ctx, t.nxt,
+                 CAST(floor(ln(
+                     {lam!r} * (CAST(coalesce(b.cnt2, 0) + 1 AS DOUBLE)
+                                / CAST(coalesce(uc.cnt, 0) + v AS DOUBLE))
+                   + {one_minus!r} * (CAST(coalesce(un.cnt, 0) + 1 AS DOUBLE)
+                                      / CAST(total + v AS DOUBLE))
+                 ) * 1000000) AS BIGINT) AS ll
+          FROM types t
+          LEFT JOIN bicnt b ON t.ctx = b.ctx AND t.nxt = b.nxt
+          LEFT JOIN vocab uc ON t.ctx = uc.token
+          LEFT JOIN vocab un ON t.nxt = un.token
+          CROSS JOIN tot
+        ), bdc AS (
+          SELECT doc_id, ctx, nxt, count(*) AS occ
+          FROM bg GROUP BY 1, 2, 3
+        ), per AS (
+          SELECT doc_id,
+                 CAST(sum(occ) AS INTEGER) AS n_bigrams,
+                 CAST(sum(occ * ll) AS BIGINT) AS sum_ll_micro
+          FROM bdc JOIN tll ON bdc.ctx = tll.ctx AND bdc.nxt = tll.nxt
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_bigrams, 0) AS n_bigrams,
+               CAST(coalesce(per.sum_ll_micro, 0) AS BIGINT) AS sum_ll_micro,
+               CASE WHEN per.n_bigrams > 0
+                    THEN CAST(-per.sum_ll_micro AS DOUBLE)
+                         / (1000000.0 * CAST(per.n_bigrams AS DOUBLE))
+               END AS avg_nll,
+               CASE WHEN per.n_bigrams > 0
+                     AND CAST(-per.sum_ll_micro AS DOUBLE)
+                         / (1000000.0 * CAST(per.n_bigrams AS DOUBLE))
+                         <= {max_avg_nll!r}
+                    THEN TRUE ELSE FALSE END AS keep
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
