@@ -1122,9 +1122,32 @@ def q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style training layout):
+    every document's global token span and the seq_len=512 training
+    chunks it occupies, via the two-level bucketed running sum (no
+    corpus-sized single-partition window — plan-pinned in
+    tests/test_packing.py). All-integer, exact by construction."""
+    from textalyzer_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512, num_buckets=64)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level manifest of the packed corpus: contributing docs +
+    token occupancy per training chunk (interior chunks exactly 512,
+    ragged final remainder)."""
+    from textalyzer_spark.operators.packing import chunk_manifest, pack_sequences
+
+    packed = pack_sequences(_docs(spark, sf_dir), seq_len=512, num_buckets=64)
+    return chunk_manifest(packed, seq_len=512)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "lm_perplexity_bigram": q_lm_perplexity_bigram,
+    "pack_sequences": q_pack_sequences,
+    "pack_chunks": q_pack_chunks,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
@@ -1206,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity_bigram": _o.lm_perplexity_bigram_sql(
             train_where="lang = 'en'", lam=0.75, max_avg_nll=3.41
         ),
+        "pack_sequences": _o.pack_sequences_sql(seq_len=512),
+        "pack_chunks": _o.pack_chunks_sql(seq_len=512),
         "minhash_lsh": _o.minhash_lsh_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),

@@ -69,6 +69,8 @@ def main() -> None:
         "bigram_novelty",
         "lm_perplexity",
         "lm_perplexity_bigram",
+        "pack_sequences",
+        "pack_chunks",
         "stratified_sample",
         "corpus_mixture",
         "fingerprint",

@@ -1,0 +1,92 @@
+"""packing: concat-and-chunk sequence packing with the two-level
+distributed running sum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.packing import chunk_manifest, pack_sequences
+
+
+def _corpus(spark):
+    rows = [
+        (1, "a b c d e"),          # 5 tokens, start 0
+        (2, ""),                   # 0 tokens, keeps row
+        (3, "f g h"),              # 3 tokens, start 5
+        (4, "i j k l m n o p q"),  # 9 tokens, start 8, crosses chunk at 8
+        (5, "r s"),                # 2 tokens, start 17
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_offsets_chunks_and_empty_docs(spark):
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(_corpus(spark), seq_len=8, num_buckets=4).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["start_offset"] == 0 and out[1]["first_chunk"] == 0
+    assert out[1]["last_chunk"] == 0 and out[1]["n_chunks"] == 1
+    # empty doc occupies no space but keeps its row
+    assert out[2]["n_tokens"] == 0 and out[2]["start_offset"] == 5
+    assert out[2]["first_chunk"] is None and out[2]["n_chunks"] == 0
+    assert out[3]["start_offset"] == 5 and out[3]["last_chunk"] == 0
+    # doc 4 spans tokens [8, 17) -> chunks 1..2
+    assert out[4]["start_offset"] == 8
+    assert (out[4]["first_chunk"], out[4]["last_chunk"], out[4]["n_chunks"]) == (1, 2, 2)
+    assert out[5]["start_offset"] == 17 and out[5]["first_chunk"] == 2
+
+
+def test_manifest_occupancy(spark):
+    packed = pack_sequences(_corpus(spark), seq_len=8, num_buckets=4)
+    man = {r["chunk_id"]: r for r in chunk_manifest(packed, seq_len=8).collect()}
+    # 19 tokens -> chunks 0,1 full (8), chunk 2 ragged (3)
+    assert man[0]["n_tokens"] == 8 and man[1]["n_tokens"] == 8
+    assert man[2]["n_tokens"] == 3
+    assert sum(r["n_tokens"] for r in man.values()) == 19
+    # chunk 1: tail of doc 4 only... no: tokens 8-15 all belong to doc 4
+    assert man[1]["n_docs"] == 1
+    # chunk 0 = tokens [0,8): doc 1 [0,5) + doc 3 [5,8); doc 4 starts at 8
+    assert man[0]["n_docs"] == 2
+
+
+def test_bucketing_invariance(spark):
+    """The two-level scan must be a pure implementation detail: any
+    num_buckets (including the degenerate single bucket) yields the
+    same integers, also under sparse non-dense doc_ids."""
+    rows = [(5, "a b c"), (1_000_000, "d e"), (17, "f"), (40_000, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ref = sorted(
+        tuple(r) for r in pack_sequences(df, seq_len=2, num_buckets=1).collect()
+    )
+    for nb in (3, 7, 64):
+        got = sorted(
+            tuple(r) for r in pack_sequences(df, seq_len=2, num_buckets=nb).collect()
+        )
+        assert got == ref
+    by_id = {r[0]: r for r in ref}
+    # order is doc_id: 5 -> 17 -> 40000 -> 1000000
+    assert by_id[5][2] == 0 and by_id[17][2] == 3
+    assert by_id[40_000][2] == 4 and by_id[1_000_000][2] == 4
+
+
+def test_plan_two_level_scan(spark):
+    """Scale pin: the corpus-sized window is PARTITIONED BY the range
+    bucket (parallel); only the O(num_buckets) offset table may use a
+    global window; the offset join is broadcast."""
+    df = _corpus(spark)
+    plan = (
+        pack_sequences(df, seq_len=8, num_buckets=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(b" in plan  # big window keyed by bucket
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    assert pack_sequences(df, seq_len=8).count() == 0

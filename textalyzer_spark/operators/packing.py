@@ -1,0 +1,126 @@
+"""Sequence packing — the final stage of an LLM training-data
+pipeline: documents are tokenized, laid end-to-end in a deterministic
+order (doc_id), and cut into fixed-length training sequences
+("concat-and-chunk", the GPT-2/3 data layout). Each document's
+global token offset determines which training chunks it lands in.
+(No reference analog; training-data extension family, SURVEY.md
+§2.12.)
+
+The global running sum is the scale hazard: the naive
+``sum() OVER (ORDER BY doc_id)`` funnels the whole corpus through ONE
+partition. This implementation is a two-level distributed scan:
+
+1. order-preserving range buckets over doc_id (``num_buckets``,
+   boundaries from a column-pruned min/max scan);
+2. intra-bucket running sums — a window PARTITIONED BY bucket, so
+   every bucket sorts and scans in parallel;
+3. bucket prefix offsets from the O(num_buckets) per-bucket totals
+   (a window over that tiny table only), broadcast-joined back.
+
+All arithmetic is int64 — the gate compare is exact by construction.
+At 1000 executors, raise ``num_buckets`` with the cluster; the only
+driver-size object remains the num_buckets-row offset table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    num_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document its half-open global token span and the
+    training chunks it occupies under concat-and-chunk packing.
+
+    Output: ``(doc_id, n_tokens int, start_offset bigint,
+    first_chunk bigint, last_chunk bigint, n_chunks int)`` — chunk
+    columns NULL (n_chunks 0) for token-less documents, which occupy
+    no space but keep their row. Token counts are non-empty
+    whitespace splits under the pinned cross-engine class
+    ``alphabet.WS_SPLIT``.
+    """
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    n = F.size(
+        F.filter(F.split(F.col(text_col), WS_SPLIT), lambda t: t != "")
+    ).cast("long")
+    t = df.select(F.col(id_col).alias("doc_id"), n.alias("n"))
+
+    # bucket boundaries: a column-pruned scan (doc_id only) — cheap
+    # enough to not warrant checkpointing the token counts
+    row = df.agg(F.min(id_col), F.max(id_col)).first()
+    if row[0] is None:
+        return t.select(
+            "doc_id",
+            F.col("n").cast("int").alias("n_tokens"),
+            F.lit(None).cast("long").alias("start_offset"),
+            F.lit(None).cast("long").alias("first_chunk"),
+            F.lit(None).cast("long").alias("last_chunk"),
+            F.lit(0).alias("n_chunks"),
+        )
+    mn, mx = int(row[0]), int(row[1])
+    width = max(1, -(-(mx - mn + 1) // num_buckets))  # ceil
+
+    t = t.withColumn("b", ((F.col("doc_id") - F.lit(mn)) / F.lit(width)).cast("long"))
+
+    intra_w = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = t.withColumn("intra_end", F.sum("n").over(intra_w))
+
+    btot = t.groupBy("b").agg(F.sum("n").alias("bn"))
+    # O(num_buckets) rows: the only single-partition window in the plan
+    boff_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "b", F.coalesce(F.sum("bn").over(boff_w), F.lit(0).cast("long")).alias("boff")
+    )
+
+    out = t.join(F.broadcast(boff), "b")
+    start = F.col("boff") + F.col("intra_end") - F.col("n")
+    first = (start - start % F.lit(seq_len)) / F.lit(seq_len)
+    end_tok = start + F.col("n") - 1
+    last = (end_tok - end_tok % F.lit(seq_len)) / F.lit(seq_len)
+    return out.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.when(F.col("n") > 0, first.cast("long")).alias("first_chunk"),
+        F.when(F.col("n") > 0, last.cast("long")).alias("last_chunk"),
+        F.when(F.col("n") > 0, (last - first + 1).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("n_chunks"),
+    )
+
+
+def chunk_manifest(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Chunk-level roll-up of :func:`pack_sequences` output: for each
+    training chunk, how many documents contribute and whether it is
+    the full ``seq_len`` (the last chunk of the corpus is usually a
+    ragged remainder a trainer drops or pads). One explode over the
+    per-doc chunk RANGE (each doc touches ``n_chunks`` chunks — total
+    work is O(total_chunks + docs), not O(docs * chunks))."""
+    spans = packed.where(F.col("n_chunks") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+    )
+    ov_start = F.greatest(F.col("start_offset"), F.col("chunk_id") * F.lit(seq_len))
+    ov_end = F.least(
+        F.col("start_offset") + F.col("n_tokens"),
+        (F.col("chunk_id") + 1) * F.lit(seq_len),
+    )
+    return (
+        spans.withColumn("tok_in_chunk", ov_end - ov_start)
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("tok_in_chunk").alias("n_tokens"),
+        )
+    )

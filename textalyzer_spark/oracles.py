@@ -1705,3 +1705,64 @@ def lm_perplexity_bigram_sql(
                     THEN TRUE ELSE FALSE END AS keep
         FROM documents d LEFT JOIN per USING (doc_id)
     """
+
+
+# --------------------------------------------------------------------------
+# sequence packing (operators/packing.py)
+# --------------------------------------------------------------------------
+
+
+def _pack_start_cte() -> str:
+    """Shared CTE chain ``t(doc_id, n) -> c(doc_id, n, start)``: token
+    counts + the global running offset as ONE window cumsum (the
+    oracle may funnel through a single partition; the engine's
+    two-level bucket scan must produce identical integers)."""
+    return f"""t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                      x -> x <> '')) AS BIGINT) AS n
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n,
+                 CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start
+          FROM t
+        )"""
+
+
+def pack_sequences_sql(seq_len: int = 512) -> str:
+    """Twin of ``packing.pack_sequences`` — all-integer arithmetic,
+    exact by construction."""
+    return f"""
+        WITH {_pack_start_cte()}
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_tokens,
+               start AS start_offset,
+               CASE WHEN n > 0 THEN start // {seq_len} END AS first_chunk,
+               CASE WHEN n > 0 THEN (start + n - 1) // {seq_len} END AS last_chunk,
+               CASE WHEN n > 0
+                    THEN CAST((start + n - 1) // {seq_len}
+                              - start // {seq_len} + 1 AS INTEGER)
+                    ELSE 0 END AS n_chunks
+        FROM c
+    """
+
+
+def pack_chunks_sql(seq_len: int = 512) -> str:
+    """Twin of ``packing.chunk_manifest``: per-chunk contributing-doc
+    count and token occupancy."""
+    return f"""
+        WITH {_pack_start_cte()}, s AS (
+          SELECT doc_id, n, start,
+                 unnest(range(start // {seq_len},
+                              (start + n - 1) // {seq_len} + 1)) AS chunk_id
+          FROM c WHERE n > 0
+        )
+        SELECT chunk_id,
+               CAST(count(*) AS INTEGER) AS n_docs,
+               CAST(sum(least(start + n, (chunk_id + 1) * {seq_len})
+                        - greatest(start, chunk_id * {seq_len}))
+                    AS BIGINT) AS n_tokens
+        FROM s GROUP BY 1
+    """
