@@ -1143,7 +1143,37 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_manifest(packed, seq_len=512)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval for a 3-term probe query (curation-side
+    corpus search). idf from driver-side glibc ln (== DuckDB ln),
+    contributions floored to int64 micro-units, deterministic
+    (score DESC, doc_id ASC) ties — operators/retrieval.py."""
+    from textalyzer_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), ["spark", "window", "merge"], k=25
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie 2023): hashed unigram+bigram
+    features (md5-LE8 % 4096 == DuckDB md5_number_upper), add-one
+    target/raw distributions from the lang='en' slice vs the whole
+    corpus, exact int64 micro-nat log-ratio dot product per doc;
+    selected iff weight >= -8e6 (operators/selection.py)."""
+    from textalyzer_spark.operators.selection import dsir_weights
+
+    return dsir_weights(
+        _docs(spark, sf_dir),
+        F.col("lang") == "en",
+        n_buckets=4096,
+        min_weight_micro=-8_000_000,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk": q_bm25_topk,
+    "dsir_weights": q_dsir_weights,
     "lm_perplexity": q_lm_perplexity,
     "lm_perplexity_bigram": q_lm_perplexity_bigram,
     "pack_sequences": q_pack_sequences,
@@ -1231,6 +1261,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": _o.pack_sequences_sql(seq_len=512),
         "pack_chunks": _o.pack_chunks_sql(seq_len=512),
+        "bm25_topk": _o.bm25_topk_sql(
+            ["spark", "window", "merge"], k=25
+        ),
+        "dsir_weights": _o.dsir_weights_sql(
+            target_where="lang = 'en'",
+            n_buckets=4096,
+            min_weight_micro=-8_000_000,
+        ),
         "minhash_lsh": _o.minhash_lsh_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),

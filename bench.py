@@ -71,6 +71,8 @@ def main() -> None:
         "lm_perplexity_bigram",
         "pack_sequences",
         "pack_chunks",
+        "bm25_topk",
+        "dsir_weights",
         "stratified_sample",
         "corpus_mixture",
         "fingerprint",

@@ -1,0 +1,127 @@
+"""retrieval (BM25) + selection (DSIR) operator semantics."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.retrieval import bm25_topk
+from textalyzer_spark.operators.selection import dsir_weights
+
+
+def _corpus(spark):
+    rows = [
+        (1, "spark spark spark spark"),            # heavy on one term
+        (2, "spark window merge"),                 # all three, short
+        (3, "spark window merge " * 10),           # all three, long
+        (4, "nothing relevant here at all"),
+        (5, ""),
+        (6, "window"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_ranking_semantics(spark):
+    out = bm25_topk(_corpus(spark), ["spark", "window", "merge"], k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    # non-matching / empty docs never appear
+    assert 4 not in got and 5 not in got
+    assert set(got) == {1, 2, 3, 6}
+    # docs matching all three terms beat single-term docs
+    assert got[2]["n_terms_matched"] == 3 and got[3]["n_terms_matched"] == 3
+    assert got[1]["n_terms_matched"] == 1
+    scores = {i: got[i]["score_micro"] for i in got}
+    # all-terms docs beat single-term docs; high-tf doc 3 tops despite
+    # the dl penalty (k1=1.2 saturation doesn't cancel 10x tf)
+    assert min(scores[2], scores[3]) > max(scores[1], scores[6])
+    assert max(scores, key=scores.get) == 3
+    # k truncation with deterministic ordering
+    top2 = bm25_topk(_corpus(spark), ["spark", "window", "merge"], k=2).collect()
+    assert [r["doc_id"] for r in top2] == sorted(
+        scores, key=lambda i: (-scores[i], i)
+    )[:2]
+
+
+def test_bm25_hand_recompute_single_term(spark):
+    rows = [(1, "x y"), (2, "x x y z")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in bm25_topk(df, ["x"], k=10).collect()}
+    n, total = 2, 6
+    avgdl = total / n
+    idf = math.log(1.0 + ((n - 2) + 0.5) / (2 + 0.5))
+    for doc, tf, dl in ((1, 1, 2), (2, 2, 4)):
+        expect = math.floor(
+            idf * (2.2 * tf) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) * 1e6
+        )
+        assert out[doc]["score_micro"] == expect
+
+
+def test_bm25_empty_inputs(spark):
+    df = _corpus(spark)
+    assert bm25_topk(df, [], k=5).count() == 0
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert bm25_topk(empty, ["x"], k=5).count() == 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target slice speaks "alpha beta"; raw background speaks "zeta eta"
+    rows = (
+        [(i, "alpha beta alpha beta gamma", True) for i in range(10)]
+        + [(i + 10, "zeta eta theta zeta eta", False) for i in range(10)]
+        + [(100, "alpha beta alpha beta gamma", False)]  # target-like, not in slice
+        + [(101, "zeta eta zeta", False)]
+        + [(102, "", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, is_tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, F.col("is_tgt"), n_buckets=512, min_weight_micro=0
+        ).collect()
+    }
+    assert len(out) == 23
+    # the target-looking outsider scores positive, the raw-looking one negative
+    assert out[100]["weight_micro"] > 0 > out[101]["weight_micro"]
+    assert out[100]["selected"] and not out[101]["selected"]
+    # feature-less doc keeps its row at weight 0
+    assert out[102]["n_feats"] == 0 and out[102]["weight_micro"] == 0
+    # n_feats = unigrams + bigrams = 2n-1 for an n-token doc
+    assert out[101]["n_feats"] == 5
+
+
+def test_dsir_oracle_mirror_planted(spark):
+    """Engine vs DuckDB exact on a corpus where target != raw (the sf
+    fixtures share one vocab, so the gate never exercises a real
+    distribution split — this mirror does)."""
+    from textalyzer_spark import oracles
+
+    rows = (
+        [(i, "alpha beta alpha beta gamma", "en") for i in range(8)]
+        + [(i + 20, "zeta eta theta zeta eta iota", "de") for i in range(8)]
+        + [(100, "alpha beta gamma", "de"), (101, "", "en")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    edf = dsir_weights(df, F.col("lang") == "en", n_buckets=512, min_weight_micro=0)
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    got = sorted(tuple(r) for r in edf.collect())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(oracles.dsir_weights_sql("lang = 'en'", 512, 0)).fetchall()
+    )
+    assert got == want
+
+
+def test_bm25_plan_shape(spark):
+    """Scale pin: the idf join is broadcast and the top-k is
+    TakeOrderedAndProject (no global sort of the scored corpus)."""
+    plan = (
+        bm25_topk(_corpus(spark), ["spark", "window"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,153 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"):
+score every raw document by how much its hashed-n-gram feature
+profile looks like a TARGET distribution (a trusted/high-quality
+slice) versus the RAW corpus distribution, then keep the
+target-leaning documents. The standard recipe for steering a
+web-scale crawl toward a quality domain without a trained classifier.
+(No reference analog; training-data extension family, SURVEY.md
+§2.12.)
+
+Features are unigrams + space-joined bigrams hashed into
+``n_buckets`` via the engine's cross-engine base hash md5-LE8
+(== DuckDB ``md5_number_upper`` — dedup.py idiom), so the oracle
+re-derives identical buckets. Both distributions are add-one
+smoothed; the per-bucket log-ratio
+``lam(b) = floor(ln(p_target)*1e6) - floor(ln(p_raw)*1e6)`` is
+computed with glibc ``math.log`` over the ≤ n_buckets distinct-bucket
+table only (the operators/lm.py exactness recipe), and each
+document's importance weight is the exact int64 dot product
+``sum(cnt_doc(b) * lam(b))``.
+
+Scale shape: one feature-explode pass with a (doc, bucket) hash agg,
+two bucket roll-ups bounded by n_buckets, a broadcast lam join, one
+final per-doc sum. The is_target flag rides the first projection so
+target and raw histograms come from the SAME pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LL_SCALE = 1_000_000
+
+
+def _doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, is_target, feat): unigrams + bigrams per document."""
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    toks = F.filter(F.split(F.col(text_col), WS_SPLIT), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col("is_target"), toks.alias("toks")
+    )
+    uni = base.select("doc_id", "is_target", F.explode("toks").alias("feat"))
+    bi = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("feat"),
+        )
+    )
+    return uni.unionByName(bi)
+
+
+def _lam_udf(tt: int, tr: int, n_buckets: int):
+    """bucket-level importance log-ratio in micro-nats (glibc ln)."""
+    denom_t = float(tt + n_buckets)
+    denom_r = float(tr + n_buckets)
+
+    @F.pandas_udf("long")
+    def lam(tc: pd.Series, rc: pd.Series) -> pd.Series:
+        out = [
+            math.floor(math.log((int(t) + 1) / denom_t) * LL_SCALE)
+            - math.floor(math.log((int(r) + 1) / denom_r) * LL_SCALE)
+            for t, r in zip(tc, rc)
+        ]
+        return pd.Series(out, dtype="int64")
+
+    return lam
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 4096,
+    min_weight_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance weight and the keep decision.
+
+    Output: ``(doc_id, n_feats int, weight_micro bigint,
+    selected boolean)`` — ``selected`` iff
+    ``weight_micro >= min_weight_micro`` (default 0: the document
+    leans target-ward). Every input row keeps its output row;
+    feature-less documents carry weight 0.
+    """
+    from textalyzer_spark.operators.dedup import _md5_le8_col
+
+    flagged = df.withColumn("is_target", target_filter)
+    feats = _doc_features(flagged, id_col, text_col)
+    fb = feats.select(
+        "doc_id",
+        "is_target",
+        F.pmod(_md5_le8_col(F.col("feat")), F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+    )
+    dbc = (
+        fb.groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.bool_or("is_target").alias("is_target"),  # constant per doc
+        )
+        .localCheckpoint()  # reused: two roll-ups + scalars + final join
+    )
+    rawc = dbc.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tgtc = (
+        dbc.where(F.col("is_target"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    buckets = (
+        rawc.join(tgtc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("tc"), F.lit(0).cast("long")).alias("tc"),
+            "rc",
+        )
+        .localCheckpoint()  # ≤ n_buckets rows; feeds scalars AND lam
+    )
+    row = buckets.agg(F.sum("tc"), F.sum("rc")).first()
+    tt, tr = int(row[0] or 0), int(row[1] or 0)
+    lam = buckets.select(
+        "bucket",
+        _lam_udf(tt, tr, n_buckets)(F.col("tc"), F.col("rc")).alias("lam"),
+    )
+    per = (
+        dbc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lam")).alias("weight_micro"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(per, "doc_id", "left")
+    w = F.coalesce(F.col("weight_micro"), F.lit(0).cast("long"))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+        w.alias("weight_micro"),
+        (w >= F.lit(int(min_weight_micro))).alias("selected"),
+    )

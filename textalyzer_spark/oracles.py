@@ -1766,3 +1766,150 @@ def pack_chunks_sql(seq_len: int = 512) -> str:
                     AS BIGINT) AS n_tokens
         FROM s GROUP BY 1
     """
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (operators/retrieval.py: bm25_topk)
+# --------------------------------------------------------------------------
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of ``retrieval.bm25_topk``: re-derives N/avgdl/df/idf in
+    SQL (DuckDB ``ln`` == the engine's driver-side glibc ``math.log``)
+    and mirrors the engine's IEEE expression chain token-for-token;
+    contributions floor to int64 micro-units, ranks break ties on
+    doc_id ASC in both engines."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                      x -> x <> '')) AS BIGINT) AS dl
+          FROM documents
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(coalesce(sum(dl), 0) AS BIGINT) AS total
+          FROM t
+        ), toks AS (
+          SELECT doc_id, tk AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                      x -> x <> '')) AS tk
+            FROM documents
+          ) WHERE tk IN ({terms})
+        ), dft AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS dft
+          FROM toks GROUP BY 1
+        ), idf AS (
+          SELECT tok,
+                 ln(1.0 + (CAST(n - dft AS DOUBLE) + 0.5)
+                          / (CAST(dft AS DOUBLE) + 0.5)) AS idf
+          FROM dft, stats
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ), sc AS (
+          SELECT tf.doc_id,
+                 CAST(floor((idf.idf * ({k1p1!r} * CAST(tf.tf AS DOUBLE))
+                             / (CAST(tf.tf AS DOUBLE)
+                                + {k1!r} * ({omb!r}
+                                    + {b!r} * (CAST(t.dl AS DOUBLE)
+                                        / (CAST(total AS DOUBLE)
+                                           / CAST(n AS DOUBLE))))))
+                            * 1000000.0) AS BIGINT) AS c
+          FROM tf
+          JOIN idf ON tf.tok = idf.tok
+          JOIN t ON tf.doc_id = t.doc_id
+          CROSS JOIN stats
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS score_micro,
+               CAST(count(*) AS INTEGER) AS n_terms_matched
+        FROM sc GROUP BY 1
+        ORDER BY score_micro DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (operators/selection.py: dsir_weights)
+# --------------------------------------------------------------------------
+
+
+def dsir_weights_sql(
+    target_where: str = "lang = 'en'",
+    n_buckets: int = 4096,
+    min_weight_micro: int = 0,
+) -> str:
+    """Twin of ``selection.dsir_weights``: hashed unigram+bigram
+    features via ``md5_number_upper % n_buckets`` (== the engine's
+    md5-LE8 pmod), add-one smoothed target/raw bucket distributions,
+    glibc-``ln`` micro-nat log-ratio per bucket, exact int64 per-doc
+    dot product."""
+    return f"""
+        WITH dt AS (
+          SELECT doc_id,
+                 ({target_where}) AS is_target,
+                 list_filter(string_split_regex(text, '{_WS_SQL}'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), uni AS (
+          SELECT doc_id, is_target, unnest(toks) AS feat FROM dt
+        ), bgidx AS (
+          SELECT doc_id, is_target, toks, unnest(range(1, len(toks))) AS i
+          FROM dt WHERE len(toks) >= 2
+        ), bi AS (
+          SELECT doc_id, is_target, toks[i] || ' ' || toks[i + 1] AS feat
+          FROM bgidx
+        ), feats AS (
+          SELECT * FROM uni UNION ALL SELECT * FROM bi
+        ), fb AS (
+          SELECT doc_id, is_target,
+                 CAST(md5_number_upper(feat) % {n_buckets} AS BIGINT) AS bucket
+          FROM feats
+        ), dbc AS (
+          SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt,
+                 bool_or(is_target) AS is_target
+          FROM fb GROUP BY 1, 2
+        ), rawc AS (
+          SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM dbc GROUP BY 1
+        ), tgtc AS (
+          SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc
+          FROM dbc WHERE is_target GROUP BY 1
+        ), buckets AS (
+          SELECT r.bucket, coalesce(t.tc, 0) AS tc, r.rc
+          FROM rawc r LEFT JOIN tgtc t ON r.bucket = t.bucket
+        ), tots AS (
+          SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS tt,
+                 CAST(coalesce(sum(rc), 0) AS BIGINT) AS tr
+          FROM buckets
+        ), lam AS (
+          SELECT bucket,
+                 CAST(floor(ln(CAST(tc + 1 AS DOUBLE)
+                               / CAST(tt + {n_buckets} AS DOUBLE)) * 1000000)
+                      AS BIGINT)
+               - CAST(floor(ln(CAST(rc + 1 AS DOUBLE)
+                               / CAST(tr + {n_buckets} AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS lam
+          FROM buckets, tots
+        ), per AS (
+          SELECT dbc.doc_id,
+                 CAST(sum(dbc.cnt) AS INTEGER) AS n_feats,
+                 CAST(sum(dbc.cnt * lam.lam) AS BIGINT) AS weight_micro
+          FROM dbc JOIN lam ON dbc.bucket = lam.bucket
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_feats, 0) AS n_feats,
+               CAST(coalesce(per.weight_micro, 0) AS BIGINT) AS weight_micro,
+               CASE WHEN coalesce(per.weight_micro, 0) >= {min_weight_micro}
+                    THEN TRUE ELSE FALSE END AS selected
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
