@@ -159,3 +159,61 @@ def test_lm_oracle_mirror_on_planted_corpus(spark, which):
     got = sorted(tuple(r) for r in edf.collect())
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want
+
+
+def test_stateless_matches_batch(spark):
+    """The streaming-path scorer must reproduce the batch scorer
+    bit-for-bit (same int sums, same doubles) — Python re WS_SPLIT ==
+    Java split on the pinned class."""
+    from textalyzer_spark.operators.lm import model_as_map, score_perplexity_stateless
+
+    df = _corpus(spark)
+    model, _t, _v, oov = train_unigram_lm(df.filter(F.col("doc_id") <= 1))
+    batch = sorted(tuple(r) for r in score_perplexity(df, model, oov).collect())
+    stateless = sorted(
+        tuple(r)
+        for r in score_perplexity_stateless(df, model_as_map(model), oov).collect()
+    )
+    assert batch == stateless
+
+
+def test_streaming_lm_score(spark, tmp_path):
+    """Append-mode streaming twin: frozen model, checkpoint-restart
+    processes only new files, output matches batch on the union."""
+    from textalyzer_spark.operators.lm import model_as_map
+    from textalyzer_spark.streaming.jobs import (
+        run_to_completion_foreach,
+        streaming_lm_score,
+    )
+
+    inp = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    b1 = [("d1", "the cat sat on the mat"), ("d2", "zyx wvu")]
+    b2 = [("d3", "the the the"), ("d4", "")]
+    spark.createDataFrame(b1, "doc_id string, text string").write.mode(
+        "append"
+    ).parquet(inp)
+    train = spark.createDataFrame(
+        [(1, "the cat sat on a mat the cat")], "doc_id bigint, text string"
+    )
+    model, _t, _v, oov = train_unigram_lm(train)
+    mm = model_as_map(model)
+
+    got = run_to_completion_foreach(streaming_lm_score(spark, inp, mm, oov), ck, "append")
+    assert {r["doc_id"] for r in got} == {"d1", "d2"}
+    spark.createDataFrame(b2, "doc_id string, text string").write.mode(
+        "append"
+    ).parquet(inp)
+    got += run_to_completion_foreach(streaming_lm_score(spark, inp, mm, oov), ck, "append")
+    assert {r["doc_id"] for r in got} == {"d1", "d2", "d3", "d4"}
+
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in score_perplexity(
+            spark.createDataFrame(b1 + b2, "doc_id string, text string"),
+            model,
+            oov,
+        ).collect()
+    }
+    for r in got:
+        assert tuple(r) == batch[r["doc_id"]]

@@ -313,3 +313,72 @@ def lm_perplexity_bigram(
         .otherwise(F.lit(False))
         .alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# stateless whole-document scoring (streaming twin path)
+# --------------------------------------------------------------------------
+
+
+def model_as_map(model: DataFrame) -> dict[str, int]:
+    """Collect a trained unigram model to the frozen ``{token:
+    ll_micro}`` dict a stateless scorer broadcasts to workers — the
+    deploy artifact (persist it next to the BPE merge table). Bounded
+    by the vocabulary, the same driver-size contract as
+    ``broadcast_model=True``."""
+    return {r["token"]: r["ll_micro"] for r in model.select("token", "ll_micro").collect()}
+
+
+def score_perplexity_stateless(
+    df: DataFrame,
+    model_map: dict[str, int],
+    oov_ll_micro: int,
+    max_avg_nll: float = 5.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The streaming-compatible scorer: identical output to
+    :func:`score_perplexity` but as a pure per-row projection — no
+    explode, no aggregation — so it runs append-mode on an unbounded
+    stream. The frozen model rides a Spark broadcast variable into an
+    Arrow-batched UDF; tokenization is Python ``re`` over the SAME
+    pinned ``alphabet.WS_SPLIT`` class (parses identically in Java
+    regex and Python ``re`` — CLAUDE.md whitespace rule), and the
+    int64 sum + final division reproduce the batch path bit-for-bit
+    (pinned by tests/test_lm.py::test_stateless_matches_batch).
+    """
+    import re
+
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    bc = df.sparkSession.sparkContext.broadcast((model_map, int(oov_ll_micro)))
+    ws_re = re.compile(WS_SPLIT)
+
+    @F.pandas_udf("struct<n_tokens: int, sum_ll_micro: bigint>")
+    def sc(texts: pd.Series) -> pd.DataFrame:
+        mdl, oov = bc.value
+        ns, sums = [], []
+        for t in texts:
+            toks = [w for w in ws_re.split(t or "") if w != ""]
+            ns.append(len(toks))
+            sums.append(sum(mdl.get(w, oov) for w in toks))
+        return pd.DataFrame({"n_tokens": ns, "sum_ll_micro": sums})
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), sc(F.col(text_col)).alias("s")
+    ).select("doc_id", "s.n_tokens", "s.sum_ll_micro")
+    avg_nll = (
+        (-F.col("sum_ll_micro")).cast("double")
+        / (F.lit(float(LL_SCALE)) * F.col("n_tokens").cast("double"))
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "sum_ll_micro",
+        F.when(F.col("n_tokens") > 0, avg_nll).alias("avg_nll"),
+        F.when(
+            (F.col("n_tokens") > 0) & (avg_nll <= F.lit(max_avg_nll)), F.lit(True)
+        )
+        .otherwise(F.lit(False))
+        .alias("keep"),
+    )

@@ -574,3 +574,24 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def streaming_lm_score(
+    spark: SparkSession,
+    input_dir: str,
+    model_map: dict[str, int],
+    oov_ll_micro: int,
+    max_avg_nll: float = 5.0,
+) -> DataFrame:
+    """LM perplexity scoring of a document stream against a FROZEN
+    model (trained in batch with ``lm.train_unigram_lm``, collected
+    via ``lm.model_as_map`` — the persist-then-apply split of the BPE
+    merge table). Scoring is a pure per-row projection
+    (``score_perplexity_stateless``), so the stream runs append-mode
+    with no state store; output matches the batch scorer bit-for-bit
+    on the same files."""
+    from textalyzer_spark.operators.lm import score_perplexity_stateless
+
+    return score_perplexity_stateless(
+        _stream(spark, input_dir), model_map, oov_ll_micro, max_avg_nll=max_avg_nll
+    )
