@@ -1155,6 +1155,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf-idf keywords: smoothed idf in glibc
+    micro-nats over the vocab table only, exact int64 tf*idf scores,
+    per-doc window top-k — operators/keywords.py."""
+    from textalyzer_spark.operators.keywords import tfidf_topk_terms
+
+    return tfidf_topk_terms(_docs(spark, sf_dir), k=5)
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 adjacent-bigram collocations by PMI (min count
+    5): one bigram histogram shuffle, single glibc ln per surviving
+    bigram TYPE, global TakeOrderedAndProject top-k —
+    operators/keywords.py."""
+    from textalyzer_spark.operators.keywords import collocations_pmi
+
+    return collocations_pmi(_docs(spark, sf_dir), min_count=5, k=50)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie 2023): hashed unigram+bigram
     features (md5-LE8 % 4096 == DuckDB md5_number_upper), add-one
@@ -1174,6 +1193,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
+    "tfidf_topk_terms": q_tfidf_topk_terms,
+    "collocations_pmi": q_collocations_pmi,
     "lm_perplexity": q_lm_perplexity,
     "lm_perplexity_bigram": q_lm_perplexity_bigram,
     "pack_sequences": q_pack_sequences,
@@ -1269,6 +1290,8 @@ def oracle_sql() -> dict[str, str]:
             n_buckets=4096,
             min_weight_micro=-8_000_000,
         ),
+        "tfidf_topk_terms": _o.tfidf_topk_terms_sql(k=5),
+        "collocations_pmi": _o.collocations_pmi_sql(min_count=5, k=50),
         "minhash_lsh": _o.minhash_lsh_sql(
             k=5, num_hashes=32, bands=8, threshold=0.1, seed=42
         ),

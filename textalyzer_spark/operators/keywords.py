@@ -1,0 +1,185 @@
+"""Corpus keyword statistics — tf-idf keyword extraction per document
+and PMI collocation mining over the whole corpus. Both are standard
+curation-side primitives of a training-data pipeline: tf-idf surfaces
+what each document is ABOUT (topic tagging, inspection, per-domain
+term drift), PMI collocations surface the corpus's multi-word units
+(tokenizer vocabulary candidates, boilerplate phrase detection).
+(No analog in the reference engine; training-data extension family,
+SURVEY.md §2.12.)
+
+Exactness contract
+------------------
+Same recipe as operators/lm.py: ``ln`` is the only transcendental,
+computed with glibc ``math.log`` inside an Arrow-batched pandas UDF
+(bit-identical to DuckDB ``ln`` on this host — pinned by
+tests/test_lm.py::test_glibc_ln_parity) and ONLY over vocabulary /
+bigram-TYPE tables, never O(corpus tokens). Log values quantize to
+integer micro-nats (``floor(x * 1e6)``); tf-idf scores are then EXACT
+``tf * idf_micro`` int64 products, and PMI runs the whole probability
+ratio as one fixed IEEE division chain before its single ``ln``.
+
+Scale shape (100 TB)
+--------------------
+tf-idf: one (doc, token) histogram shuffle + one token histogram
+shuffle, idf over the vocab table only, top-k per doc via a window
+PARTITIONED BY doc_id (parallel — never a global sort). PMI: one
+bigram histogram shuffle + two (optionally broadcast) unigram joins,
+``min_count`` prunes the type table before the UDF, global top-k is a
+TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LL_SCALE = 1_000_000
+
+
+def _ws_tokens(text_col: str) -> Column:
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    return F.filter(F.split(F.col(text_col), WS_SPLIT), lambda t: t != "")
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed tf-idf.
+
+    ``idf(t) = ln((N + 1) / (df_t + 1))`` (>= 0 since ``df_t <= N``),
+    quantized to micro-nats over the vocabulary table; per-term score
+    is the exact int64 product ``tf * idf_micro``. Ties break
+    ``(score_micro DESC, tok ASC)``; ubiquitous terms (``df_t = N``,
+    idf 0) still rank, deterministically, by token.
+
+    Output: ``(doc_id, tok, tf bigint, score_micro bigint, rank int)``
+    ordered by ``(doc_id, rank)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_ws_tokens(text_col)).alias("tok")
+    )
+    toks = toks.localCheckpoint()  # tf + df + N reuse (multi-ACTION rule)
+    n_docs = df.select(F.col(id_col)).distinct().count()
+
+    denom = float(n_docs + 1)
+
+    @F.pandas_udf("long")
+    def idf_micro(dft: pd.Series) -> pd.Series:
+        return pd.Series(
+            [math.floor(math.log(denom / (int(d) + 1)) * LL_SCALE) for d in dft],
+            dtype="int64",
+        )
+
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("doc_id").cast("long").alias("dft"))
+        .select("tok", idf_micro(F.col("dft")).alias("idf_micro"))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    scored = tf.join(vocab, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information, restricted to bigrams seen at least ``min_count``
+    times.
+
+    ``pmi = ln((c2 / N_bi) / ((c_x / N_uni) * (c_y / N_uni)))`` — the
+    full ratio is ONE fixed chain of IEEE divisions/multiplies (each
+    exactly mirrored by the oracle) followed by a single glibc ``ln``,
+    floored to micro-nats. Ties break ``(pmi DESC, ctx ASC, nxt
+    ASC)``.
+
+    Output: ``(ctx, nxt, cnt bigint, pmi_micro bigint)`` ordered by
+    ``(pmi_micro DESC, ctx, nxt)``, at most ``k`` rows. Set
+    ``broadcast_unigrams=False`` when a web-scale vocabulary outgrows
+    the driver (shuffle joins instead).
+    """
+    t = df.select(_ws_tokens(text_col).alias("toks"))
+    t = t.localCheckpoint()  # unigram + bigram histograms (multi-ACTION rule)
+
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt1"))
+    )
+    uni = uni.localCheckpoint()  # scalar total + two joins below
+    n_uni = int(uni.agg(F.coalesce(F.sum("cnt1"), F.lit(0))).first()[0])
+
+    bi = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("ctx"), b.alias("nxt")),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.ctx").alias("ctx"), F.col("bg.nxt").alias("nxt"))
+        .groupBy("ctx", "nxt")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bi = bi.localCheckpoint()  # scalar total + ranked scan (multi-ACTION rule)
+    n_bi = int(bi.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0])
+    if n_bi == 0 or n_uni == 0:
+        return df.sparkSession.createDataFrame(
+            [], "ctx string, nxt string, cnt bigint, pmi_micro bigint"
+        )
+
+    nb = float(n_bi)
+    nu = float(n_uni)
+
+    @F.pandas_udf("long")
+    def pmi_micro(c2: pd.Series, cx: pd.Series, cy: pd.Series) -> pd.Series:
+        out = []
+        for a, b, c in zip(c2, cx, cy):
+            ratio = (int(a) / nb) / ((int(b) / nu) * (int(c) / nu))
+            out.append(math.floor(math.log(ratio) * LL_SCALE))
+        return pd.Series(out, dtype="int64")
+
+    ux = uni.select(F.col("tok").alias("ctx"), F.col("cnt1").alias("cx"))
+    uy = uni.select(F.col("tok").alias("nxt"), F.col("cnt1").alias("cy"))
+    if broadcast_unigrams:
+        ux, uy = F.broadcast(ux), F.broadcast(uy)
+    typed = (
+        bi.where(F.col("cnt") >= min_count)
+        .join(ux, "ctx")
+        .join(uy, "nxt")
+        .select(
+            "ctx",
+            "nxt",
+            "cnt",
+            pmi_micro(F.col("cnt"), F.col("cx"), F.col("cy")).alias("pmi_micro"),
+        )
+    )
+    return typed.orderBy(
+        F.desc("pmi_micro"), F.asc("ctx"), F.asc("nxt")
+    ).limit(k)

@@ -1913,3 +1913,92 @@ def dsir_weights_sql(
                     THEN TRUE ELSE FALSE END AS selected
         FROM documents d LEFT JOIN per USING (doc_id)
     """
+
+
+# --------------------------------------------------------------------------
+# tf-idf keywords / PMI collocations (operators/keywords.py)
+# --------------------------------------------------------------------------
+
+
+def tfidf_topk_terms_sql(k: int = 5) -> str:
+    """Twin of ``keywords.tfidf_topk_terms``: smoothed idf
+    ``ln((N+1)/(df+1))`` in micro-nats (DuckDB ``ln`` == the engine's
+    glibc ``math.log`` — the operators/lm.py pin), exact int64
+    ``tf * idf_micro`` scores, per-doc row_number with the pinned
+    ``(score DESC, tok ASC)`` tiebreak."""
+    return f"""
+        WITH kwtoks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), kwn AS (
+          SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+        ), kwidf AS (
+          SELECT tok,
+                 CAST(floor(ln(CAST(n + 1 AS DOUBLE)
+                               / CAST(dft + 1 AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS idf_micro
+          FROM (
+            SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS dft
+            FROM kwtoks GROUP BY 1
+          ), kwn
+        ), kwtf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM kwtoks GROUP BY 1, 2
+        ), kwsc AS (
+          SELECT kwtf.doc_id, kwtf.tok, kwtf.tf,
+                 kwtf.tf * kwidf.idf_micro AS score_micro
+          FROM kwtf JOIN kwidf ON kwtf.tok = kwidf.tok
+        )
+        SELECT doc_id, tok, tf, score_micro, rank FROM (
+          SELECT doc_id, tok, tf, score_micro,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_micro DESC, tok ASC) AS INTEGER) AS rank
+          FROM kwsc
+        ) WHERE rank <= {k}
+        ORDER BY doc_id, rank
+    """
+
+
+def collocations_pmi_sql(min_count: int = 5, k: int = 50) -> str:
+    """Twin of ``keywords.collocations_pmi``: adjacent-bigram PMI with
+    the engine's exact IEEE chain
+    ``(c2/N_bi) / ((cx/N_uni) * (cy/N_uni))`` into one glibc ``ln``,
+    floored to micro-nats; top-k with ``(pmi DESC, ctx, nxt)`` ties."""
+    return f"""
+        WITH pmt AS (
+          SELECT list_filter(string_split_regex(text, '{_WS_SQL}'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), pmuni AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt1 FROM (
+            SELECT unnest(toks) AS tok FROM pmt
+          ) GROUP BY 1
+        ), pmnu AS (
+          SELECT CAST(coalesce(sum(cnt1), 0) AS BIGINT) AS n_uni FROM pmuni
+        ), pmbi AS (
+          SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT toks[i] AS ctx, toks[i + 1] AS nxt FROM (
+              SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM pmt WHERE len(toks) >= 2
+            )
+          ) GROUP BY 1, 2
+        ), pmnb AS (
+          SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_bi FROM pmbi
+        )
+        SELECT ctx, nxt, cnt,
+               CAST(floor(ln((CAST(cnt AS DOUBLE) / CAST(n_bi AS DOUBLE))
+                             / ((CAST(cx.cnt1 AS DOUBLE)
+                                 / CAST(n_uni AS DOUBLE))
+                                * (CAST(cy.cnt1 AS DOUBLE)
+                                   / CAST(n_uni AS DOUBLE)))) * 1000000)
+                    AS BIGINT) AS pmi_micro
+        FROM pmbi
+        JOIN pmuni cx ON pmbi.ctx = cx.tok
+        JOIN pmuni cy ON pmbi.nxt = cy.tok
+        CROSS JOIN pmnu CROSS JOIN pmnb
+        WHERE cnt >= {min_count}
+        ORDER BY pmi_micro DESC, ctx ASC, nxt ASC
+        LIMIT {k}
+    """
