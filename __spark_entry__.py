@@ -1155,6 +1155,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-and-shard: md5-permutation global rank
+    via the two-level bucketed scan (256 hex-prefix range buckets),
+    128-doc shards — operators/packing.py shard_plan."""
+    from textalyzer_spark.operators.packing import shard_plan
+
+    return shard_plan(_docs(spark, sf_dir), shard_size=128)
+
+
 def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 tf-idf keywords: smoothed idf in glibc
     micro-nats over the vocab table only, exact int64 tf*idf scores,
@@ -1199,6 +1208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity_bigram": q_lm_perplexity_bigram,
     "pack_sequences": q_pack_sequences,
     "pack_chunks": q_pack_chunks,
+    "shard_plan": q_shard_plan,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
@@ -1282,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": _o.pack_sequences_sql(seq_len=512),
         "pack_chunks": _o.pack_chunks_sql(seq_len=512),
+        "shard_plan": _o.shard_plan_sql(shard_size=128),
         "bm25_topk": _o.bm25_topk_sql(
             ["spark", "window", "merge"], k=25
         ),

@@ -90,3 +90,66 @@ def test_plan_two_level_scan(spark):
 def test_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id bigint, text string")
     assert pack_sequences(df, seq_len=8).count() == 0
+
+
+# --------------------------------------------------------------------------
+# shard_plan (deterministic shuffle-and-shard)
+# --------------------------------------------------------------------------
+
+
+def test_shard_plan_is_exact_permutation_with_full_shards(spark):
+    from textalyzer_spark.operators.packing import shard_plan
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(1000)], "doc_id bigint, text string"
+    )
+    out = shard_plan(df, shard_size=64).collect()
+    pos = sorted(r["global_pos"] for r in out)
+    assert pos == list(range(1000))  # bijection onto 0..n-1
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+        assert r["shard_id"] == r["global_pos"] // 64
+        assert r["pos_in_shard"] == r["global_pos"] % 64
+    full = {s for s, ps in by_shard.items() if len(ps) == 64}
+    assert len(full) >= len(by_shard) - 1  # only the tail shard ragged
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_shard_plan_matches_single_window_reference(spark):
+    """The two-level bucketed scan equals the naive global sort —
+    pinned over a SPARSE id space (bucket boundaries at hex-prefix
+    granularity must not disturb the permutation)."""
+    import hashlib
+
+    from textalyzer_spark.operators.packing import shard_plan
+
+    ids = [3, 7, 1_000_003, 99, 42_000_000_017, 5]
+    df = spark.createDataFrame(
+        [(i, "t") for i in ids], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["global_pos"]
+        for r in shard_plan(df, shard_size=2).collect()
+    }
+    want = {
+        d: p
+        for p, d in enumerate(
+            sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        )
+    }
+    assert got == want
+
+
+def test_shard_plan_decorrelates_ids(spark):
+    """Consecutive doc_ids should not land in consecutive positions:
+    the permutation is hash-ordered, not id-ordered."""
+    from textalyzer_spark.operators.packing import shard_plan
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(256)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["global_pos"] for r in shard_plan(df, 32).collect()}
+    adjacent = sum(1 for i in range(255) if abs(out[i] - out[i + 1]) == 1)
+    assert adjacent < 32  # random expectation ~2; id-ordered would be 255

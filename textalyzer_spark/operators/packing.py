@@ -124,3 +124,52 @@ def chunk_manifest(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
             F.sum("tok_in_chunk").alias("n_tokens"),
         )
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    shard_size: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shuffle-and-shard: assign every document a
+    position in a pseudo-random global permutation (ordered by
+    ``md5(doc_id)`` — Spark lower-hex md5 == DuckDB md5, so the
+    permutation is engine-identical AND uncorrelated with ingest
+    order) and cut that order into fixed-size training shards. The
+    writer-side complement of :func:`pack_sequences`: a trainer
+    streams ``shard_id`` files in ``pos_in_shard`` order and sees an
+    id-decorrelated document mix without any global sort at write
+    time.
+
+    Scale shape: the global rank reuses the two-level scan — the md5
+    hex key's FIRST BYTE is 256 order-preserving range buckets (hex
+    strings of equal length sort identically to their numeric value:
+    '0'-'9' < 'a'-'f' in ASCII), so intra-bucket ranks run in a
+    window PARTITIONED BY bucket and only the 256-row bucket-count
+    table sees a single-partition window.
+
+    Output: ``(doc_id, global_pos bigint, shard_id bigint,
+    pos_in_shard int)``.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("k"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("long").alias("b"),
+    )
+    intra_w = Window.partitionBy("b").orderBy("k", "doc_id")
+    t = t.withColumn("r", F.row_number().over(intra_w).cast("long"))
+
+    btot = t.groupBy("b").agg(F.count("*").alias("bn"))
+    # O(256) rows: the only single-partition window in the plan
+    boff_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "b", F.coalesce(F.sum("bn").over(boff_w), F.lit(0).cast("long")).alias("boff")
+    )
+    gp = F.col("boff") + F.col("r") - 1
+    return t.join(F.broadcast(boff), "b").select(
+        "doc_id",
+        gp.alias("global_pos"),
+        F.floor(gp / F.lit(shard_size)).cast("long").alias("shard_id"),
+        (gp % F.lit(shard_size)).cast("int").alias("pos_in_shard"),
+    )

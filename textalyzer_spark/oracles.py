@@ -2002,3 +2002,25 @@ def collocations_pmi_sql(min_count: int = 5, k: int = 50) -> str:
         ORDER BY pmi_micro DESC, ctx ASC, nxt ASC
         LIMIT {k}
     """
+
+
+def shard_plan_sql(shard_size: int = 1024) -> str:
+    """Twin of ``packing.shard_plan``: one global row_number over the
+    engine-identical ``(md5(doc_id), doc_id)`` permutation (DuckDB
+    md5 == Spark lower-hex md5) — the oracle may afford the single
+    sort the engine's two-level bucketed scan avoids."""
+    return f"""
+        WITH shp AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1 AS gp
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(gp AS BIGINT) AS global_pos,
+               CAST(floor(gp / {shard_size}) AS BIGINT) AS shard_id,
+               CAST(gp % {shard_size} AS INTEGER) AS pos_in_shard
+        FROM shp
+        ORDER BY global_pos
+    """
