@@ -1155,6 +1155,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means semantic clustering of
+    the embeddings (the IVF quantizer verbatim), intra-cluster cosine
+    pairs at 0.35, connected components, keep-min-id —
+    similarity.semdedup_pairs through near_dedup(pairs=...)."""
+    from textalyzer_spark.operators.near_dedup import near_dedup
+    from textalyzer_spark.operators.similarity import semdedup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    pairs = semdedup_pairs(emb, threshold=0.35).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return near_dedup(emb, pairs=pairs, id_col="vec_id")
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffle-and-shard: md5-permutation global rank
     via the two-level bucketed scan (256 hex-prefix range buckets),
@@ -1218,6 +1233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_groups": q_embedding_near_dup_groups,
+    "semdedup_groups": q_semdedup_groups,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "duplicate_block_candidates": q_duplicate_block_candidates,
     "duplicate_blocks_resolved": q_duplicate_blocks_resolved,
@@ -1293,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _o.pack_sequences_sql(seq_len=512),
         "pack_chunks": _o.pack_chunks_sql(seq_len=512),
         "shard_plan": _o.shard_plan_sql(shard_size=128),
+        "semdedup_groups": _o.semdedup_groups_sql(threshold=0.35),
         "bm25_topk": _o.bm25_topk_sql(
             ["spark", "window", "merge"], k=25
         ),

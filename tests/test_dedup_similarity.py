@@ -415,3 +415,114 @@ def test_incremental_embedding_component_maintenance(spark):
     rows = {r["vec_id"]: r["component"] for r in nxt.collect()}
     assert rows == lab
     assert nxt.filter("embedding IS NULL").count() == 0
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (semantic clustering + intra-cluster near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+def _planted_semantic_corpus(spark):
+    """Two tight semantic clusters in R^8 plus isolated noise: ids
+    0-3 are jittered copies of one direction, 10-13 of an orthogonal
+    one, 20/21 isolated."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = np.array([1.0, 0, 0, 0, 0, 0, 0, 0])
+    b = np.array([0, 1.0, 0, 0, 0, 0, 0, 0])
+    rows = []
+    for i in range(4):
+        rows.append((i, (a + rng.normal(0, 0.01, 8)).tolist()))
+    for i in range(4):
+        rows.append((10 + i, (b + rng.normal(0, 0.01, 8)).tolist()))
+    rows.append((20, np.full(8, 0.35).tolist()))
+    rows.append((21, (-a + b).tolist()))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semdedup_groups_planted_clusters(spark):
+    from textalyzer_spark.operators.near_dedup import near_dedup
+    from textalyzer_spark.operators.similarity import semdedup_pairs
+
+    emb = _planted_semantic_corpus(spark)
+    # 2 centroids align with the two planted directions; more cells
+    # may SPLIT a group across cells (recall < 1 by design — the
+    # subset-of-brute property below is the guarantee that holds at
+    # any n_clusters)
+    pairs = semdedup_pairs(
+        emb, threshold=0.95, n_clusters=2, sample_size=16
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    out = near_dedup(emb, pairs=pairs, id_col="vec_id").collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    keep = {r["doc_id"]: r["keep"] for r in out}
+    assert len({comp[i] for i in range(4)}) == 1  # cluster A collapses
+    assert len({comp[10 + i] for i in range(4)}) == 1  # cluster B collapses
+    assert comp[0] != comp[10]  # semantically distinct groups stay apart
+    assert comp[20] == 20 and comp[21] == 21  # noise is singleton
+    # exactly one survivor per component, the min id
+    assert keep[0] and not any(keep[i] for i in (1, 2, 3))
+    assert keep[10] and not any(keep[10 + i] for i in (1, 2, 3))
+    assert keep[20] and keep[21]
+
+
+def test_semdedup_pairs_match_brute_within_cluster(spark):
+    """Every semdedup pair must also be a brute-force pair (same
+    threshold, same rounding) — clustering only PRUNES candidates,
+    never invents them."""
+    from textalyzer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semdedup_pairs,
+    )
+
+    emb = _planted_semantic_corpus(spark)
+    sem = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semdedup_pairs(
+            emb, threshold=0.9, n_clusters=4, sample_size=16
+        ).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert sem <= brute
+    assert sem  # and it found the planted duplicates
+
+
+def test_semdedup_empty_corpus(spark):
+    from textalyzer_spark.operators.similarity import semdedup_pairs
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert semdedup_pairs(emb).count() == 0
+
+
+def test_semdedup_mega_cluster_blocks_bound_task_size(spark):
+    """All vectors in ONE semantic cluster with block_size 4: the
+    per-cluster blocking must still find every pair across block
+    boundaries (the diagonal-and-upper block join is exhaustive
+    within a cluster)."""
+    import numpy as np
+
+    from textalyzer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = np.array([1.0, 1.0, 0, 0])
+    rows = [
+        (i, (base + rng.normal(0, 0.005, 4)).tolist()) for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sem = {
+        (r["vec_a"], r["vec_b"])
+        for r in semdedup_pairs(
+            emb, threshold=0.99, n_clusters=1, sample_size=24, block_size=4
+        ).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    }
+    assert sem == brute  # one cluster -> no pruning -> exact equality

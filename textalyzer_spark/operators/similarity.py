@@ -247,11 +247,6 @@ def embedding_near_dup_pairs(
     :func:`embedding_near_dup_pairs_lsh`, whose docstring's recall
     math says when that is safe.
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -278,6 +273,24 @@ def embedding_near_dup_pairs(
     pairs = x.join(y, F.col("bx") <= F.col("by"))
 
     id_type = dict(v.dtypes)["vid"]
+    return pairs.mapInPandas(
+        _block_pairs_kernel(threshold),
+        f"vec_a {id_type}, vec_b {id_type}, cosine double",
+    )
+
+
+def _block_pairs_kernel(threshold: float):
+    """The shared block-pair scoring kernel: each input row carries
+    two blocks of ``(vid, vec)`` structs (``ix``/``iy``) plus their
+    comparable block ids (``bx``/``by``); one (Gx x Gy) BLAS matmul
+    per row, pairs oriented (min id, max id), the diagonal block
+    deduped. Used by the brute all-pairs baseline (blocks = hash
+    buckets of the whole corpus) and by :func:`semdedup_pairs`
+    (blocks = hash buckets WITHIN a k-means cluster)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -315,9 +328,7 @@ def embedding_near_dup_pairs(
                     out = out.drop_duplicates(["vec_a", "vec_b"])
                 yield out
 
-    return pairs.mapInPandas(
-        run, f"vec_a {id_type}, vec_b {id_type}, cosine double"
-    )
+    return run
 
 
 def embedding_near_dup_pairs_lsh(
@@ -613,6 +624,108 @@ def ivf_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    sample_size: int = 256,
+    block_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means clusters the embedding space, then near-duplicate pairs
+    are sought ONLY within a cluster — the semantic analog of LSH
+    banding, with the quantizer (not random projections) choosing
+    who competes. Output ``(vec_a, vec_b, cosine)``, vec_a < vec_b,
+    np.round-4 cosines — feed through
+    ``near_dedup(pairs=..., id_col="vec_id")`` for cluster resolution
+    and the keep rule, exactly like the embedding-LSH path.
+
+    The quantizer is the IVF one verbatim (:func:`_kmeans_fit_sample`
+    on the md5-ordered bounded sample, quantized centroid updates,
+    pinned tiebreaks — the DuckDB twin unrolls the same CTEs), and
+    the corpus is touched by exactly ONE distributed assignment pass.
+    Intra-cluster scoring reuses the block-matmul kernel with blocks
+    nested INSIDE clusters: per-cluster block counts come from an
+    O(n_clusters)-row size aggregate, so a mega cluster becomes many
+    bounded (G x G) matmuls, never one task. Compute is
+    O(sum_c n_c^2) BY DESIGN (the paper's semantics); at 100 TB scale
+    ``n_clusters`` with the corpus (SemDeDup uses ~10^5 clusters at
+    10^8 docs) to keep every n_c near n / n_clusters.
+    """
+    import numpy as np
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    srows = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    id_type = dict(v.dtypes)["vec_id"]
+    if not srows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"vec_a {id_type}, vec_b {id_type}, cosine double"
+        )
+    sample = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in srows])
+    centroids = _kmeans_fit_sample(sample, min(n_clusters, len(srows)), iters)
+
+    assigned = _assign_nearest(v, centroids)
+    # two actions consume the assignment (size agg + pair scan) and it
+    # is a python-stage pass — the multi-ACTION checkpoint rule applies
+    assigned = assigned.localCheckpoint()
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    nb_rows = [(int(r["cluster"]), max(1, -(-int(r["n"]) // block_size))) for r in sizes]
+    nbdf = F.broadcast(
+        vectors.sparkSession.createDataFrame(nb_rows, "cluster int, nb int")
+    )
+    blocked = (
+        assigned.join(nbdf, "cluster")
+        .groupBy(
+            "cluster",
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.col("nb"))
+            .cast("int")
+            .alias("blk"),
+        )
+        .agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("vid"), "vec")
+            ).alias("items")
+        )
+        # comparable global block id: cluster in the high 32 bits, so
+        # bx == by identifies the diagonal and bx <= by orders blocks
+        # within the cluster join
+        .select(
+            "cluster",
+            (F.col("cluster").cast("long") * F.lit(1 << 32) + F.col("blk"))
+            .alias("bid"),
+            "items",
+        )
+    )
+    x = blocked.select(
+        F.col("cluster").alias("cx"),
+        F.col("bid").alias("bx"),
+        F.col("items").alias("ix"),
+    )
+    y = blocked.select(
+        F.col("cluster").alias("cy"),
+        F.col("bid").alias("by"),
+        F.col("items").alias("iy"),
+    )
+    pairs = x.join(
+        y, (F.col("cx") == F.col("cy")) & (F.col("bx") <= F.col("by"))
+    ).select("bx", "by", "ix", "iy")
+    return pairs.mapInPandas(
+        _block_pairs_kernel(threshold),
+        f"vec_a {id_type}, vec_b {id_type}, cosine double",
     )
 
 

@@ -2024,3 +2024,61 @@ def shard_plan_sql(shard_size: int = 1024) -> str:
         FROM shp
         ORDER BY global_pos
     """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (operators/similarity.py: semdedup_pairs + near_dedup)
+# --------------------------------------------------------------------------
+
+
+def _kmeans_af_ctes(
+    n_clusters: int = 16, iters: int = 3, sample_size: int = 256
+) -> str:
+    """The IVF coarse-quantizer CTE chain (sample -> init -> ``iters``
+    assign/update rounds -> full-table assignment ``af``) shared by
+    the IVF and SemDeDup oracles — identical semantics to
+    ``similarity._kmeans_fit_sample`` + ``_assign_nearest``."""
+    horder = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    ctes = [
+        f"""v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), vs AS (
+          SELECT vec_id, e FROM v ORDER BY {horder} LIMIT {sample_size}
+        ), c0 AS (
+          SELECT row_number() OVER (ORDER BY {horder}) - 1 AS cluster,
+                 e AS ce
+          FROM vs ORDER BY {horder} LIMIT {n_clusters}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(_assign_cte(f"c{i - 1}", f"a{i}", source="vs"))
+        ctes.append(_update_cte(f"a{i}", f"c{i - 1}", f"u{i}", f"c{i}"))
+    ctes.append(_assign_cte(f"c{iters}", "af"))
+    return ",\n        ".join(ctes)
+
+
+def semdedup_groups_sql(
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    iters: int = 3,
+    sample_size: int = 256,
+) -> str:
+    """Twin of ``near_dedup(pairs=semdedup_pairs(...),
+    id_col="vec_id")``: the unrolled k-means assignment, an
+    intra-cluster pair join at ``round(cosine, 4) >= threshold``, and
+    the recursive min-label component walk with keep-min-id."""
+    km = _kmeans_af_ctes(n_clusters, iters, sample_size)
+    cos = _COS.format(a="pa.e", b="pb.e")
+    cc = connected_components_ctes(
+        "semp", "SELECT vec_id AS doc_id FROM embeddings"
+    )
+    return f"""
+        WITH RECURSIVE {km}, semp AS (
+          SELECT pa.vec_id AS doc_a, pb.vec_id AS doc_b
+          FROM af pa JOIN af pb
+            ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+          WHERE round({cos}, 4) >= {threshold!r}
+        ), {cc}
+        SELECT doc_id, component, doc_id = component AS keep
+        FROM cc_labels
+    """
