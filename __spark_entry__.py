@@ -1155,6 +1155,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (0/25/50/75/100th) as k-th
+    order statistics via the stratum-nested two-level bucketed rank —
+    operators/order_stats.py."""
+    from textalyzer_spark.operators.order_stats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def q_semdedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means semantic clustering of
     the embeddings (the IVF quantizer verbatim), intra-cluster cosine
@@ -1224,6 +1233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pack_chunks": q_pack_chunks,
     "shard_plan": q_shard_plan,
+    "length_quantiles": q_length_quantiles,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
@@ -1310,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _o.pack_chunks_sql(seq_len=512),
         "shard_plan": _o.shard_plan_sql(shard_size=128),
         "semdedup_groups": _o.semdedup_groups_sql(threshold=0.35),
+        "length_quantiles": _o.length_quantiles_sql(),
         "bm25_topk": _o.bm25_topk_sql(
             ["spark", "window", "merge"], k=25
         ),

@@ -2082,3 +2082,37 @@ def semdedup_groups_sql(
         SELECT doc_id, component, doc_id = component AS keep
         FROM cc_labels
     """
+
+
+def length_quantiles_sql(
+    quantiles: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0),
+) -> str:
+    """Twin of ``order_stats.length_quantiles`` over the documents
+    table: one window per stratum in the oracle (DuckDB may afford
+    it) against the engine's two-level bucketed rank; targets use the
+    identical IEEE ``floor(q * (n-1)) + 1`` chain. The quantile
+    literals are exact binary doubles, so the double column
+    hash-compares exactly."""
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+        WITH lqt AS (
+          SELECT source AS s, CAST(n_chars AS BIGINT) AS v, doc_id
+          FROM documents
+        ), lqr AS (
+          SELECT s, v,
+                 row_number() OVER (PARTITION BY s ORDER BY v, doc_id) AS rk
+          FROM lqt
+        ), lqn AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n FROM lqt GROUP BY 1
+        ), lqq AS (
+          SELECT unnest([{qs}]::DOUBLE[]) AS q
+        ), lqtg AS (
+          SELECT s, q,
+                 CAST(floor(q * CAST(n - 1 AS DOUBLE)) + 1 AS BIGINT) AS rk
+          FROM lqn CROSS JOIN lqq
+        )
+        SELECT lqtg.s AS source, lqtg.q AS q, lqtg.rk AS "rank",
+               lqr.v AS value
+        FROM lqtg JOIN lqr ON lqtg.s = lqr.s AND lqtg.rk = lqr.rk
+        ORDER BY source, q
+    """
