@@ -125,3 +125,117 @@ def test_bm25_plan_shape(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# frozen-model DSIR (stateless / streaming path)
+# --------------------------------------------------------------------------
+
+
+def test_dsir_stateless_matches_batch(spark):
+    """The frozen-model scorer must reproduce dsir_weights
+    bit-for-bit on the training corpus (Python md5-LE8 + re WS_SPLIT
+    == the JVM chain)."""
+    from textalyzer_spark.operators.selection import (
+        dsir_model,
+        dsir_score_stateless,
+        dsir_weights,
+        lam_as_map,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "good clean prose about science", True),
+            (2, "spam spam buy now buy now", False),
+            (3, "science prose with new words", False),
+            (4, "", False),
+        ],
+        "doc_id bigint, text string, tgt boolean",
+    )
+    batch = sorted(
+        tuple(r)
+        for r in dsir_weights(df, F.col("tgt"), n_buckets=64).collect()
+    )
+    lam, unseen = dsir_model(df, F.col("tgt"), n_buckets=64)
+    stateless = sorted(
+        tuple(r)
+        for r in dsir_score_stateless(
+            df, lam_as_map(lam), unseen, n_buckets=64
+        ).collect()
+    )
+    assert batch == stateless
+
+
+def test_dsir_unseen_bucket_scores_lam_unseen(spark):
+    from textalyzer_spark.operators.selection import (
+        dsir_model,
+        dsir_score_stateless,
+        lam_as_map,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False)],
+        "doc_id bigint, text string, tgt boolean",
+    )
+    lam, unseen = dsir_model(train, F.col("tgt"), n_buckets=4096)
+    mm = lam_as_map(lam)
+    fresh = spark.createDataFrame(
+        [(9, "qqqq-never-seen-qqqq")], "doc_id bigint, text string"
+    )
+    row = dsir_score_stateless(fresh, mm, unseen, n_buckets=4096).first()
+    # one unigram, no bigram; with 4096 buckets and 4 training feats a
+    # collision is vanishingly unlikely for this fixed token
+    assert row["n_feats"] == 1
+    assert row["weight_micro"] == unseen
+
+
+def test_streaming_dsir_score(spark, tmp_path):
+    """Append-mode streaming twin: frozen model, checkpoint-restart
+    processes only new files, union matches the stateless batch
+    scorer."""
+    from textalyzer_spark.operators.selection import (
+        dsir_model,
+        dsir_score_stateless,
+        lam_as_map,
+    )
+    from textalyzer_spark.streaming.jobs import (
+        run_to_completion_foreach,
+        streaming_dsir_score,
+    )
+
+    inp = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    train = spark.createDataFrame(
+        [(1, "the good target text", True), (2, "raw noise text", False)],
+        "doc_id bigint, text string, tgt boolean",
+    )
+    lam, unseen = dsir_model(train, F.col("tgt"), n_buckets=256)
+    mm = lam_as_map(lam)
+
+    b1 = [("d1", "the good target text"), ("d2", "raw noise")]
+    b2 = [("d3", "totally new words"), ("d4", "")]
+    spark.createDataFrame(b1, "doc_id string, text string").write.mode(
+        "append"
+    ).parquet(inp)
+    got = run_to_completion_foreach(
+        streaming_dsir_score(spark, inp, mm, unseen, n_buckets=256), ck, "append"
+    )
+    assert {r["doc_id"] for r in got} == {"d1", "d2"}
+    spark.createDataFrame(b2, "doc_id string, text string").write.mode(
+        "append"
+    ).parquet(inp)
+    got += run_to_completion_foreach(
+        streaming_dsir_score(spark, inp, mm, unseen, n_buckets=256), ck, "append"
+    )
+    assert {r["doc_id"] for r in got} == {"d1", "d2", "d3", "d4"}
+
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in dsir_score_stateless(
+            spark.createDataFrame(b1 + b2, "doc_id string, text string"),
+            mm,
+            unseen,
+            n_buckets=256,
+        ).collect()
+    }
+    assert {r["doc_id"]: tuple(r) for r in got} == want

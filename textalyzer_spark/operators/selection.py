@@ -151,3 +151,120 @@ def dsir_weights(
         w.alias("weight_micro"),
         (w >= F.lit(int(min_weight_micro))).alias("selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# frozen-model path (streaming twin)
+# --------------------------------------------------------------------------
+
+
+def dsir_model(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, int]:
+    """Fit the DSIR bucket model alone — the persist-then-apply split
+    (same shape as ``lm.train_unigram_lm`` + ``model_as_map``):
+    returns ``(lam, lam_unseen_micro)`` where ``lam`` is the
+    ``(bucket, lam)`` importance table (≤ n_buckets rows) and
+    ``lam_unseen_micro`` the log-ratio a NEVER-SEEN bucket gets under
+    the same add-one smoothing (both distributions at count 0) — the
+    case that cannot arise when scoring the training corpus itself
+    but appears immediately on a live stream."""
+    flagged = df.withColumn("is_target", target_filter)
+    feats = _doc_features(flagged, id_col, text_col)
+    from textalyzer_spark.operators.dedup import _md5_le8_col
+
+    fb = feats.select(
+        "is_target",
+        F.pmod(_md5_le8_col(F.col("feat")), F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+    )
+    buckets = (
+        fb.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("rc"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("tc"),
+        )
+        .localCheckpoint()  # scalars + lam projection (multi-ACTION rule)
+    )
+    row = buckets.agg(F.sum("tc"), F.sum("rc")).first()
+    tt, tr = int(row[0] or 0), int(row[1] or 0)
+    lam = buckets.select(
+        "bucket",
+        _lam_udf(tt, tr, n_buckets)(F.col("tc"), F.col("rc")).alias("lam"),
+    )
+    lam_unseen = math.floor(
+        math.log(1.0 / float(tt + n_buckets)) * LL_SCALE
+    ) - math.floor(math.log(1.0 / float(tr + n_buckets)) * LL_SCALE)
+    return lam, lam_unseen
+
+
+def lam_as_map(lam: DataFrame) -> dict[int, int]:
+    """Collect a fitted ``(bucket, lam)`` table to the frozen dict a
+    stateless scorer broadcasts — bounded by n_buckets."""
+    return {int(r["bucket"]): int(r["lam"]) for r in lam.collect()}
+
+
+def dsir_score_stateless(
+    df: DataFrame,
+    lam_map: dict[int, int],
+    lam_unseen_micro: int,
+    n_buckets: int = 4096,
+    min_weight_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The streaming-compatible DSIR scorer: identical output schema
+    to :func:`dsir_weights` but as a pure per-row projection — no
+    explode, no aggregation — so it runs append-mode on an unbounded
+    stream. Feature hashing replays md5-LE8 in Python
+    (``int.from_bytes(md5(f)[:8], 'little') % n_buckets`` — the same
+    value the JVM ``_md5_le8_col`` + pmod chain produces);
+    tokenization is Python ``re`` over the pinned
+    ``alphabet.WS_SPLIT``. Bit-identical to the batch scorer on the
+    training corpus (pinned by tests); unseen buckets score
+    ``lam_unseen_micro``."""
+    import hashlib
+    import re
+
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        (dict(lam_map), int(lam_unseen_micro), int(n_buckets))
+    )
+    ws_re = re.compile(WS_SPLIT)
+
+    @F.pandas_udf("struct<n_feats: int, weight_micro: bigint>")
+    def sc(texts: pd.Series) -> pd.DataFrame:
+        lam, unseen, nb = bc.value
+        ns, ws = [], []
+        for t in texts:
+            toks = [w for w in ws_re.split(t or "") if w != ""]
+            feats = toks + [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+            w = 0
+            for f in feats:
+                b = int.from_bytes(
+                    hashlib.md5(f.encode("utf-8")).digest()[:8], "little"
+                ) % nb
+                w += lam.get(b, unseen)
+            ns.append(len(feats))
+            ws.append(w)
+        return pd.DataFrame({"n_feats": ns, "weight_micro": ws})
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), sc(F.col(text_col)).alias("s")
+    ).select("doc_id", "s.n_feats", "s.weight_micro")
+    return base.select(
+        "doc_id",
+        "n_feats",
+        "weight_micro",
+        (F.col("weight_micro") >= F.lit(int(min_weight_micro))).alias("selected"),
+    )

@@ -595,3 +595,30 @@ def streaming_lm_score(
     return score_perplexity_stateless(
         _stream(spark, input_dir), model_map, oov_ll_micro, max_avg_nll=max_avg_nll
     )
+
+
+def streaming_dsir_score(
+    spark: SparkSession,
+    input_dir: str,
+    lam_map: dict[int, int],
+    lam_unseen_micro: int,
+    n_buckets: int = 4096,
+    min_weight_micro: int = 0,
+) -> DataFrame:
+    """DSIR importance scoring of a document stream against a FROZEN
+    bucket model (fit in batch with ``selection.dsir_model``,
+    collected via ``selection.lam_as_map`` — the persist-then-apply
+    split of the LM/BPE twins). Pure per-row projection
+    (``dsir_score_stateless``): append-mode, no state store; matches
+    the batch scorer bit-for-bit on the training corpus, and buckets
+    the training corpus never produced score the model's
+    ``lam_unseen_micro``."""
+    from textalyzer_spark.operators.selection import dsir_score_stateless
+
+    return dsir_score_stateless(
+        _stream(spark, input_dir),
+        lam_map,
+        lam_unseen_micro,
+        n_buckets=n_buckets,
+        min_weight_micro=min_weight_micro,
+    )
