@@ -301,3 +301,84 @@ def test_incremental_maintenance_final_stage_is_clean(spark, docs):
         )
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_shard_plan_single_partition_only_for_offsets(spark, docs):
+    """shard_plan's global rank: the corpus-side window partitions by
+    the 256 hash-prefix buckets; exactly ONE SinglePartition exchange
+    may appear — the O(256)-row bucket-offset window — never a global
+    sort of the corpus."""
+    from textalyzer_spark.operators.packing import shard_plan
+
+    plan = (
+        shard_plan(docs, shard_size=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+def test_length_quantiles_never_single_partitions_corpus(spark, docs):
+    """length_quantiles: every window is stratum- (or stratum+bucket-)
+    partitioned — NO SinglePartition exchange at all (the offset
+    window partitions by stratum), and the quantile-target join
+    broadcasts."""
+    from textalyzer_spark.operators.order_stats import length_quantiles
+
+    plan = (
+        length_quantiles(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_collocations_topk_avoids_global_sort(spark, docs):
+    """The PMI top-k must be a TakeOrderedAndProject (partial top-k
+    per partition), not a full Sort+Limit of the bigram-type table."""
+    from textalyzer_spark.operators.keywords import collocations_pmi
+
+    plan = (
+        collocations_pmi(docs, min_count=5, k=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_topk_is_per_doc_window_no_cartesian(spark, docs):
+    from textalyzer_spark.operators.keywords import tfidf_topk_terms
+
+    plan = (
+        tfidf_topk_terms(docs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the ranking window partitions by doc_id (parallel), so no
+    # SinglePartition exchange feeds a Window operator
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semdedup_block_join_no_cartesian(spark):
+    """semdedup_pairs: the intra-cluster block self-join is an equi
+    join on cluster (plus the bx<=by band condition) — never a
+    CartesianProduct over blocks or vectors."""
+    from textalyzer_spark.operators.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        semdedup_pairs(emb, threshold=0.35)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
