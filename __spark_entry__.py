@@ -301,6 +301,77 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pred_lang", "u")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): top-100 documents by priority ln(u)/w with w =
+    greatest(n_chars, 1) — inclusion odds proportional to document
+    mass, the quality/length-weighted corpus subsetting step. Pure
+    per-row projection + TakeOrderedAndProject (per-partition partial
+    top-k): NO corpus shuffle at any scale. The glibc-ln priority is
+    bit-exact vs the DuckDB twin."""
+    from textalyzer_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    return weighted_sample(docs, k=100, weight_col="w", salt="ws1")
+
+
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-token sketch (Flajolet 2007,
+    m=4096 registers) next to the exact count: one row (m, n_nonzero,
+    v_zero, hll_estimate, n_distinct_exact, rel_err). Registers are a
+    single map-side-combinable MAX aggregation (<= m rows per map
+    partition at ANY corpus size) and merge across persisted
+    snapshots by register-wise MAX — O(m) incremental distinct
+    counting where count(distinct) would rescan 10^12 docs. The
+    harmonic sum is exact-integer (decimal(38,0) vs the oracle's
+    HUGEINT); the estimate is one double division."""
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+    from textalyzer_spark.operators.sketch import hll_distinct_report
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), WS_SPLIT), lambda t: t != ""
+            )
+        ).alias("tok")
+    )
+    return hll_distinct_report(toks, "tok", p=12, salt="")
+
+
+def q_incremental_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch catalog maintenance: per-snapshot HLL
+    register tables (even-id snapshot, odd-id batch) merged by
+    register-wise MAX, then estimated — the O(m)-state incremental
+    distinct-token counter. The DuckDB twin sketches the UNION corpus
+    directly, so a green gate IS the cross-engine proof that
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly (each
+    register is a MAX — associative and order-free)."""
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+    from textalyzer_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), WS_SPLIT), lambda t: t != ""
+                )
+            ).alias("tok")
+        )
+
+    old, new = _split_batches(spark, sf_dir)
+    merged = hll_merge(
+        hll_registers(toks(old), "tok", p=12),
+        hll_registers(toks(new), "tok", p=12),
+    )
+    return hll_estimate(merged, p=12)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint per document."""
     from textalyzer_spark.operators.quality import fingerprint
@@ -1264,6 +1335,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "bigram_novelty": q_bigram_novelty,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "hll_distinct_tokens": q_hll_distinct_tokens,
+    "incremental_hll_tokens": q_incremental_hll_tokens,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1321,6 +1395,9 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": _o.shard_plan_sql(shard_size=128),
         "semdedup_groups": _o.semdedup_groups_sql(threshold=0.35),
         "length_quantiles": _o.length_quantiles_sql(),
+        "weighted_sample": _o.weighted_sample_sql(k=100, salt="ws1"),
+        "hll_distinct_tokens": _o.hll_distinct_tokens_sql(p=12, salt=""),
+        "incremental_hll_tokens": _o.hll_incremental_sql(p=12, salt=""),
         "bm25_topk": _o.bm25_topk_sql(
             ["spark", "window", "merge"], k=25
         ),

@@ -74,7 +74,9 @@ def main() -> None:
         "bm25_topk",
         "dsir_weights",
         "stratified_sample",
+        "weighted_sample",
         "corpus_mixture",
+        "hll_distinct_tokens",
         "fingerprint",
         "exact_dedup",
         "ngram_jaccard",
@@ -96,6 +98,7 @@ def main() -> None:
         "incremental_simhash_groups",
         "incremental_embedding_groups",
         "incremental_keep_quality",
+        "incremental_hll_tokens",
         "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",

@@ -1,0 +1,260 @@
+"""HyperLogLog sketch (textalyzer_spark/operators/sketch.py) and
+weighted sampling (operators/sampling.weighted_sample).
+
+Cross-engine exactness lives in the oracle gate (hll_distinct_tokens,
+weighted_sample); here we pin the algebra the gate can't see:
+mergeability (sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly),
+accuracy within the published error bound, the register derivation
+vs a pure-python HLL, the linear-counting ln grid parity, and the
+A-ES inclusion-probability / no-shuffle plan properties.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.sketch import (
+    P_DEFAULT,
+    bit_length_case_sql,
+    hll_distinct_report,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _md5_le8(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def _py_registers(values, p, salt=""):
+    m = 1 << p
+    regs = {}
+    for v in set(values):
+        h = _md5_le8(salt + v)
+        bucket = h % m
+        w = h >> p
+        rho = (64 - p) - w.bit_length() + 1
+        if rho > regs.get(bucket, 0):
+            regs[bucket] = rho
+    return regs
+
+
+def _vals_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+def test_registers_match_pure_python(spark):
+    vals = [f"tok{i}" for i in range(2000)] + ["dup"] * 50
+    p = 8
+    got = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(_vals_df(spark, vals), p=p).collect()
+    }
+    assert got == _py_registers(vals, p)
+
+
+def test_duplicates_do_not_change_sketch(spark):
+    # max over a multiset == max over its support: the one-pass,
+    # no-distinct property the 10^12-doc shape depends on
+    base = [f"x{i}" for i in range(500)]
+    a = hll_registers(_vals_df(spark, base), p=8).collect()
+    b = hll_registers(_vals_df(spark, base * 7), p=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_merge_equals_union_sketch_exactly(spark):
+    a_vals = [f"a{i}" for i in range(800)]
+    b_vals = [f"b{i}" for i in range(600)] + a_vals[:100]
+    p = 8
+    sk_union = hll_registers(_vals_df(spark, a_vals + b_vals), p=p)
+    merged = hll_merge(
+        hll_registers(_vals_df(spark, a_vals), p=p),
+        hll_registers(_vals_df(spark, b_vals), p=p),
+    )
+    assert sorted(map(tuple, sk_union.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # and therefore identical estimates
+    eu = hll_estimate(sk_union, p=p).collect()[0]
+    em = hll_estimate(merged, p=p).collect()[0]
+    assert tuple(eu) == tuple(em)
+
+
+def test_estimate_within_error_bound(spark):
+    # standard error 1.04/sqrt(m); allow 4 sigma
+    n = 30_000
+    vals = [f"card{i}" for i in range(n)]
+    row = hll_distinct_report(_vals_df(spark, vals), p=P_DEFAULT).collect()[0]
+    assert row["n_distinct_exact"] == n
+    sigma = 1.04 / math.sqrt(1 << P_DEFAULT)
+    assert abs(row["rel_err"]) < 4 * sigma
+
+
+def test_small_range_linear_counting(spark):
+    # tiny cardinality -> raw estimate <= 2.5m -> linear counting
+    vals = [f"s{i}" for i in range(40)]
+    row = hll_distinct_report(_vals_df(spark, vals), p=P_DEFAULT).collect()[0]
+    m = 1 << P_DEFAULT
+    assert row["m"] == m
+    assert row["v_zero"] > 0
+    # glibc kernel both sides -> EXACT equality, not approx
+    assert row["hll_estimate"] == m * math.log(m / row["v_zero"])
+    # exact at this density: every register distinct w.h.p.
+    assert abs(row["rel_err"]) < 0.1
+
+
+def test_bit_length_case_ladder_full_grid():
+    # the CASE ladder shared verbatim with the oracle == int.bit_length
+    # on every boundary and near-boundary value
+    max_bits = 52
+    sql = bit_length_case_sql("v", max_bits)
+
+    def eval_case(v):
+        for b in range(max_bits, 0, -1):
+            if v >= 1 << (b - 1):
+                return b
+        return 0
+
+    probes = {0, 1, 2, 3}
+    for b in range(2, max_bits + 1):
+        probes |= {(1 << b) - 1, 1 << b, (1 << b) + 1}
+    for v in probes:
+        if v < 1 << max_bits:
+            assert eval_case(v) == v.bit_length(), v
+    assert "WHEN v >= 1 THEN 1" in sql
+
+
+def test_linear_counting_glibc_exact_on_jvm_divergent_grid(spark):
+    # the ln branch evaluates ln(m / V) for V in [1, m]. JVM F.log
+    # differs from glibc math.log in the last ulp on a few % of that
+    # grid — find those V in one vectorized job, then prove the
+    # ENGINE path (glibc pandas-UDF kernel) is bit-exact there, i.e.
+    # a regression back to F.log cannot pass this test.
+    m = 1 << P_DEFAULT
+    jvm = {
+        r["v"]: r["jvm_ln"]
+        for r in spark.range(1, m + 1)
+        .select(
+            F.col("id").alias("v"),
+            F.log(F.lit(float(m)) / F.col("id").cast("double")).alias(
+                "jvm_ln"
+            ),
+        )
+        .collect()
+    }
+    divergent = [v for v in jvm if jvm[v] != math.log(m / v)]
+    assert divergent, "expected some JVM-vs-glibc last-ulp divergence"
+    for v_zero in divergent[:4]:
+        # register table with exactly m - v_zero nonzero buckets,
+        # rho=1 -> hsum large -> linear-counting branch selected
+        regs = spark.createDataFrame(
+            [(b, 1) for b in range(m - v_zero)], "bucket int, rho int"
+        )
+        row = hll_estimate(regs, p=P_DEFAULT).collect()[0]
+        assert row["v_zero"] == v_zero
+        assert row["hll_estimate"] == m * math.log(m / v_zero), v_zero
+
+
+def test_invalid_p_rejected(spark):
+    df = _vals_df(spark, ["a"])
+    with pytest.raises(ValueError):
+        hll_registers(df, p=10 + 1)  # not a multiple of 4
+    with pytest.raises(ValueError):
+        hll_registers(df, p=20)
+
+
+def test_registers_plan_partial_agg_jvm_side(spark):
+    # the 10^12-doc property: register derivation is pure JVM (md5 +
+    # conv + CASE ladder, no Python stage) and the MAX agg is
+    # map-side partial, so the shuffle carries <= m rows per map
+    # partition regardless of corpus size
+    df = _vals_df(spark, [f"v{i}" for i in range(100)])
+    plan = (
+        hll_registers(df, p=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    # two HashAggregates around the exchange = partial + final
+    assert plan.count("HashAggregate") >= 2
+    assert "md5" in plan
+
+
+# ---------------------------------------------------------------- A-ES
+
+
+def _py_weighted_topk(rows, k, salt):
+    scored = []
+    for doc_id, w in rows:
+        u = (_md5_le8(salt + str(doc_id)) + 1) / 2.0**64
+        scored.append((math.log(u) / w, doc_id, w))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [(d, w, pr) for pr, d, w in scored[:k]]
+
+
+def test_weighted_sample_matches_pure_python(spark):
+    from textalyzer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 + (i * 37) % 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = [
+        (r["doc_id"], r["weight"], r["priority"])
+        for r in weighted_sample(df, k=50, weight_col="w", salt="t").collect()
+    ]
+    assert got == _py_weighted_topk(rows, 50, "t")
+
+
+def test_weighted_sample_inclusion_proportional_to_weight(spark):
+    # one heavy doc among light ones: P(include) ~ w_i / sum(w) per
+    # slot; across salts the heavy doc must appear far more often
+    from textalyzer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000 if i == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    hits = 0
+    for s in range(20):
+        ids = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df, k=5, weight_col="w", salt=f"s{s}"
+            ).collect()
+        }
+        hits += 0 in ids
+    assert hits >= 18  # heavy doc ~5x total light mass
+
+
+def test_weighted_sample_rejects_nonpositive_weight(spark):
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql.utils import AnalysisException
+
+    from textalyzer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0)], "doc_id bigint, w bigint"
+    )
+    with pytest.raises((PySparkRuntimeError, AnalysisException, Exception)):
+        weighted_sample(df, k=2, weight_col="w").collect()
+
+
+def test_weighted_sample_plan_no_shuffle(spark):
+    # TakeOrderedAndProject, not a global Sort + Exchange of the corpus
+    from textalyzer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_id bigint, w bigint"
+    )
+    plan = (
+        weighted_sample(df, k=10, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

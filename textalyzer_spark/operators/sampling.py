@@ -19,6 +19,9 @@ keep decision is a pure function of (salt, doc_id), so
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -172,3 +175,79 @@ def stratified_sample(
         )
     u = sample_u(id_col, salt)
     return df.withColumn("u", u).filter(F.col("u") < rate)
+
+
+def _ln_udf():
+    """glibc ``math.log`` as an Arrow-batched scalar kernel — the
+    cross-engine-exact ``ln`` (== DuckDB's; the operators/lm.py /
+    selection.py recipe). Scalar loop, not numpy: numpy's SIMD log
+    is NOT bit-identical to glibc on every input."""
+
+    @F.pandas_udf("double")
+    def lnv(u: pd.Series) -> pd.Series:
+        return pd.Series([math.log(x) for x in u], dtype="float64")
+
+    return lnv
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): keep the
+    ``k`` rows with the largest priority ``ln(u) / w``, where ``u``
+    is the deterministic md5 variate — each row's inclusion odds are
+    proportional to its weight (quality score, token mass, ...), the
+    standard quality-weighted corpus subsetting step.
+
+    ``ln(u)/w`` is the log of the A-ES key ``u^(1/w)`` (monotone, so
+    the top-k is identical) and keeps the arithmetic to one ``ln``
+    plus one division. Determinism contract as
+    :func:`stratified_sample`: the priority is a pure function of
+    ``(salt, id)`` — stable under re-runs, task retries, AQE
+    re-planning, and engines. ``u = (md5-LE8(salt||id) + 1) / 2^64``
+    ∈ (0, 1] so ``ln`` is always defined; the ``+1`` and the
+    power-of-two division are both exact in doubles. The ``ln`` is
+    the glibc scalar kernel (bit-exact vs the DuckDB twin); a
+    Spark-only deployment can swap in JVM ``F.log`` — it agrees to
+    ≤1 ulp, which only ever matters to the oracle's hash compare.
+
+    Scale shape: a stateless per-row projection followed by
+    ``TakeOrderedAndProject`` (per-partition partial top-k, then a
+    k-row merge on the driver) — NO shuffle of the corpus, no global
+    sort. Weights must be > 0: enforced in-plan via ``raise_error``
+    (a silent clamp would skew the sample).
+
+    Returns ``(id, weight, priority)`` ordered by priority desc, id
+    asc (pinned tiebreak)."""
+    if k < 1:
+        raise ValueError("sample size k must be >= 1")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.when(
+        w <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: nonpositive weight for id "),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    ).otherwise(w)
+    h = _md5_le8_col(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(_TWO64)
+    lnv = _ln_udf()
+    scored = df.select(
+        F.col(id_col),
+        w.cast("bigint").alias("weight"),
+        u.alias("_u"),
+    ).select(
+        id_col,
+        "weight",
+        (lnv(F.col("_u")) / F.col("weight").cast("double")).alias("priority"),
+    )
+    return scored.orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -1,0 +1,207 @@
+"""Mergeable HyperLogLog cardinality-sketch catalog.
+
+At 10^12 documents "how many distinct tokens / shingles / URLs does
+the corpus contain, and how does it grow per ingest batch?" cannot be
+answered with ``count(distinct ...)`` per update — the distinct set
+itself is the size of the corpus. The standard answer (Flajolet et
+al. 2007, "HyperLogLog: the analysis of a near-optimal cardinality
+estimation algorithm") is a fixed ``m = 2^p``-register sketch that is
+
+* **one pass, map-side combinable** — each register is a MAX over
+  rows, so the shuffle carries at most ``m`` rows per map partition
+  regardless of corpus size;
+* **mergeable** — the sketch of a union is the register-wise MAX of
+  the sketches, so per-snapshot register tables persisted to the
+  catalog (parquet, the :mod:`operators.incremental` layout) give
+  incremental distinct-counting with O(m) state, never a re-scan;
+* **deterministic and cross-engine** — registers derive from the
+  engine's md5-LE8 base hash (== DuckDB ``md5_number_upper``,
+  ``operators/dedup.py:193``), the leading-zero rank is a generated
+  integer CASE ladder shared verbatim with the oracle, and the
+  harmonic sum is an EXACT integer sum (``1 << (S - rho)`` terms in
+  decimal(38,0) / HUGEINT), so the estimate is a double ratio of
+  exact integers — bit-identical in the DuckDB twin (the
+  est_jaccard convention). No floating-point ``pow`` anywhere.
+
+Spark 4 ships Apache DataSketches HLL (``hll_sketch_agg``); that is
+the right choice when only Spark ever touches the sketch, but its
+binary sketch blobs are not readable by the DuckDB oracle, not
+stable across library versions, and not a documented on-disk format
+for a long-lived catalog. This implementation trades its
+constant-factor polish for a pinned, engine-neutral register table
+(the actual HLL algebra is identical).
+
+No reference analog (the reference is single-corpus batch,
+``textalyzer/src/lib.rs:57-151`` recomputes from scratch); this is
+the training-data extension family, SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from textalyzer_spark.operators.dedup import _md5_le8_col
+
+#: default precision: m = 4096 registers, standard error 1.04/sqrt(m)
+#: ~= 1.6%. ``p`` must be a multiple of 4 (registers are carved from
+#: the md5 hex string on nibble boundaries — exact, no decimal
+#: division).
+P_DEFAULT = 12
+
+
+def bit_length_case_sql(col_expr: str, max_bits: int) -> str:
+    """``CASE`` ladder computing ``int.bit_length(col_expr)`` for
+    values in ``[0, 2^max_bits)`` — pure integer comparisons, shared
+    VERBATIM between the Spark plan (``F.expr``) and the DuckDB
+    oracle, so the two engines cannot disagree."""
+    branches = " ".join(
+        f"WHEN {col_expr} >= {1 << (b - 1)} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+def _split_hash(value: Column, p: int, salt: str) -> tuple[Column, Column]:
+    """(bucket, w): low ``p`` bits / high ``64-p`` bits of the md5-LE8
+    hash, both carved from the reversed-digest hex string on nibble
+    boundaries (``p`` multiple of 4) — integer-exact, no decimal
+    arithmetic. ``w < 2^52`` for p=12, so it is a plain bigint."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    h = F.md5(F.concat(F.lit(salt), value))
+    # first 8 digest bytes, byte-reversed == md5_number_upper
+    # (dedup._md5_le8_col) — here split into high/low hex spans
+    le = F.concat(*[F.substring(h, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)])
+    lo_nibbles = p // 4
+    w = F.conv(F.substring(le, 1, 16 - lo_nibbles), 16, 10).cast("bigint")
+    bucket = F.conv(F.substring(le, 17 - lo_nibbles, lo_nibbles), 16, 10).cast(
+        "int"
+    )
+    return bucket, w
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str | Column = "value",
+    p: int = P_DEFAULT,
+    salt: str = "",
+) -> DataFrame:
+    """The sketch itself: ``(bucket:int, rho:int)`` — for every
+    nonempty register, the maximum leading-zero rank
+    ``rho = (64 - p) - bit_length(h >> p) + 1`` over the rows hashing
+    into it. ONE hash aggregation; the map-side partial MAX means the
+    shuffle carries at most ``2^p`` rows per map partition however
+    large the input (no distinct pass needed — max over a multiset
+    equals max over its support). Persist this table per snapshot for
+    a mergeable catalog."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    bucket, w = _split_hash(c, p, salt)
+    s = 64 - p
+    rho = F.lit(s + 1) - F.expr(bit_length_case_sql("w", s))
+    return (
+        df.select(bucket.alias("bucket"), w.alias("w"))
+        .groupBy("bucket")
+        .agg(F.max(rho).alias("rho"))
+    )
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Sketch of the union: register-wise MAX across snapshots —
+    the property that makes the catalog incremental (sketch(A ∪ B)
+    == merge(sketch(A), sketch(B)), exactly; pinned in pytest)."""
+    if not register_dfs:
+        raise ValueError("need at least one register table")
+    out = register_dfs[0]
+    for other in register_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = P_DEFAULT) -> DataFrame:
+    """One-row cardinality estimate from a register table:
+    ``(m, n_nonzero, v_zero, hll_estimate)``.
+
+    The harmonic mean is computed EXACTLY: each register contributes
+    the integer ``1 << (S - rho)`` (scale 2^-S, ``S = 64 - p + 1`` =
+    the maximum rank, so the smallest term is 1), empty registers
+    contribute ``1 << S``, and the sum is decimal(38,0) (HUGEINT in
+    the oracle) — the raw estimate ``alpha_m * m^2 * 2^S / sum`` is
+    then one double division of exact integers. Small-range
+    correction (Flajolet §4: linear counting ``m * ln(m / V)`` when
+    the raw estimate <= 2.5m and V > 0) uses the same glibc==DuckDB
+    ``ln`` the LM/DSIR family already pins — an Arrow-batched scalar
+    ``math.log`` kernel over this ONE row (JVM ``F.log`` differs from
+    glibc in the last ulp on ~7% of inputs, tests/test_lm.py, so it
+    would break the hash gate on unlucky ``V``)."""
+    m = 1 << p
+    s_max = 64 - p + 1
+    # alpha_m * m^2 * 2^S as ONE python double literal — the oracle
+    # embeds the identical literal, so both engines divide the same
+    # numerator by the same exact-integer sum
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << s_max)
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({s_max} - rho AS INT))"
+    ).cast("decimal(38,0)")
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.sum(term).alias("_st"),
+    )
+    v_zero = (F.lit(m) - F.col("n_nonzero")).cast("bigint")
+    hsum = (
+        F.coalesce(F.col("_st"), F.lit(0).cast("decimal(38,0)"))
+        + F.lit(1 << s_max).cast("decimal(38,0)") * v_zero.cast("decimal(38,0)")
+    )
+    @F.pandas_udf("double")
+    def _glibc_ln(x: pd.Series) -> pd.Series:
+        # scalar math.log (== DuckDB ln bit-exact), never numpy SIMD
+        return pd.Series(
+            [math.log(v) if v > 0 else float("nan") for v in x],
+            dtype="float64",
+        )
+
+    raw = F.lit(numerator) / hsum.cast("double")
+    linear = F.lit(float(m)) * _glibc_ln(
+        F.lit(float(m)) / v_zero.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > F.lit(0)), linear
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_nonzero").cast("bigint").alias("n_nonzero"),
+        v_zero.alias("v_zero"),
+        est.alias("hll_estimate"),
+    )
+
+
+def hll_distinct_report(
+    df: DataFrame,
+    value_col: str | Column = "value",
+    p: int = P_DEFAULT,
+    salt: str = "",
+) -> DataFrame:
+    """Estimate next to ground truth — the report a sketch rollout is
+    validated against at small scale: one row
+    ``(m, n_nonzero, v_zero, hll_estimate, n_distinct_exact,
+    rel_err)``. The exact side is a count-distinct (only sane at
+    validation scale; production keeps just the registers)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = df.select(c.alias("_v"))
+    est = hll_estimate(hll_registers(vals, "_v", p=p, salt=salt), p=p)
+    exact = vals.agg(F.count_distinct("_v").alias("n_distinct_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_nonzero",
+        "v_zero",
+        "hll_estimate",
+        "n_distinct_exact",
+        (
+            (F.col("hll_estimate") - F.col("n_distinct_exact").cast("double"))
+            / F.col("n_distinct_exact").cast("double")
+        ).alias("rel_err"),
+    )

@@ -2116,3 +2116,154 @@ def length_quantiles_sql(
         FROM lqtg JOIN lqr ON lqtg.s = lqr.s AND lqtg.rk = lqr.rk
         ORDER BY source, q
     """
+
+
+# --------------------------------------------------------------------------
+# weighted sampling (operators/sampling.py: weighted_sample)
+# --------------------------------------------------------------------------
+
+
+def weighted_sample_sql(k: int = 100, salt: str = "ws1") -> str:
+    """Twin of ``sampling.weighted_sample`` with weight
+    ``greatest(n_chars, 1)``: Efraimidis-Spirakis priority
+    ``ln((md5-LE8(salt||doc_id) + 1) / 2^64) / w`` — the ``+1`` (done
+    in HUGEINT: md5_number_upper is UBIGINT and 2^64-1 + 1 would
+    overflow) and the power-of-two division are exact in doubles, and
+    DuckDB ``ln`` == the engine's glibc ``math.log`` bit-exact
+    (tests/test_lm.py::test_glibc_ln_parity), so the top-k ORDER and
+    the priority doubles hash-compare exactly."""
+    return f"""
+        WITH wspr AS (
+          SELECT doc_id,
+                 CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+                 ln(CAST(CAST(md5_number_upper(
+                        concat('{salt}', CAST(doc_id AS VARCHAR)))
+                      AS HUGEINT) + 1 AS DOUBLE)
+                    / 18446744073709551616.0)
+                 / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+          FROM documents
+        )
+        SELECT doc_id, weight, priority
+        FROM wspr
+        ORDER BY priority DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+
+def hll_distinct_tokens_sql(p: int = 12, salt: str = "") -> str:
+    """Twin of ``sketch.hll_distinct_report`` over the documents
+    table's whitespace tokens: identical register derivation (md5
+    base hash split at bit ``p``, the SHARED bit_length CASE ladder
+    from ``sketch.bit_length_case_sql``), EXACT integer harmonic sum
+    (``1 << (S - rho)`` summed in HUGEINT vs the engine's
+    decimal(38,0)), the same python-double numerator literal, and the
+    same ``ln`` small-range branch."""
+    from textalyzer_spark.operators.sketch import bit_length_case_sql
+
+    m = 1 << p
+    s = 64 - p
+    s_max = s + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << s_max)
+    bl = bit_length_case_sql("w", s)
+    return f"""
+        WITH hlt AS (
+          SELECT unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), hlh AS (
+          SELECT tok, md5_number_upper(concat('{salt}', tok)) AS h FROM hlt
+        ), hlw AS (
+          SELECT CAST(h % {m} AS INT) AS bucket,
+                 CAST(h // {m} AS BIGINT) AS w
+          FROM hlh
+        ), hlreg AS (
+          SELECT bucket, MAX({s_max} - ({bl})) AS rho
+          FROM hlw GROUP BY 1
+        ), hls AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+                 coalesce(sum(CAST(CAST(1 AS BIGINT) << ({s_max} - rho)
+                                   AS HUGEINT)), 0) AS st
+          FROM hlreg
+        ), hlx AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_exact
+          FROM hlt
+        ), hlest AS (
+          SELECT n_nonzero,
+                 CAST({m} - n_nonzero AS BIGINT) AS v_zero,
+                 CASE
+                   WHEN ({numerator!r} / CAST(st
+                          + CAST({1 << s_max} AS HUGEINT)
+                            * ({m} - n_nonzero) AS DOUBLE)) <= {2.5 * m!r}
+                        AND {m} - n_nonzero > 0
+                   THEN {float(m)!r}
+                        * ln({float(m)!r} / CAST({m} - n_nonzero AS DOUBLE))
+                   ELSE {numerator!r} / CAST(st
+                          + CAST({1 << s_max} AS HUGEINT)
+                            * ({m} - n_nonzero) AS DOUBLE)
+                 END AS hll_estimate
+          FROM hls
+        )
+        SELECT CAST({m} AS INT) AS m, n_nonzero, v_zero, hll_estimate,
+               n_distinct_exact,
+               (hll_estimate - CAST(n_distinct_exact AS DOUBLE))
+                 / CAST(n_distinct_exact AS DOUBLE) AS rel_err
+        FROM hlest CROSS JOIN hlx
+    """
+
+
+def hll_incremental_sql(p: int = 12, salt: str = "") -> str:
+    """Twin of the merged-snapshot estimate
+    (``sketch.hll_merge`` + ``hll_estimate`` over even/odd doc_id
+    batches): since each register is an associative MAX, the sketch
+    of the union equals the merge of per-snapshot sketches EXACTLY —
+    so the oracle just sketches the whole documents table. A green
+    gate is the cross-engine mergeability proof."""
+    from textalyzer_spark.operators.sketch import bit_length_case_sql
+
+    m = 1 << p
+    s = 64 - p
+    s_max = s + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << s_max)
+    bl = bit_length_case_sql("w", s)
+    return f"""
+        WITH hit AS (
+          SELECT unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), hih AS (
+          SELECT md5_number_upper(concat('{salt}', tok)) AS h FROM hit
+        ), hiw AS (
+          SELECT CAST(h % {m} AS INT) AS bucket,
+                 CAST(h // {m} AS BIGINT) AS w
+          FROM hih
+        ), hireg AS (
+          SELECT bucket, MAX({s_max} - ({bl})) AS rho
+          FROM hiw GROUP BY 1
+        ), his AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+                 coalesce(sum(CAST(CAST(1 AS BIGINT) << ({s_max} - rho)
+                                   AS HUGEINT)), 0) AS st
+          FROM hireg
+        )
+        SELECT CAST({m} AS INT) AS m, n_nonzero,
+               CAST({m} - n_nonzero AS BIGINT) AS v_zero,
+               CASE
+                 WHEN ({numerator!r} / CAST(st
+                        + CAST({1 << s_max} AS HUGEINT)
+                          * ({m} - n_nonzero) AS DOUBLE)) <= {2.5 * m!r}
+                      AND {m} - n_nonzero > 0
+                 THEN {float(m)!r}
+                      * ln({float(m)!r} / CAST({m} - n_nonzero AS DOUBLE))
+                 ELSE {numerator!r} / CAST(st
+                        + CAST({1 << s_max} AS HUGEINT)
+                          * ({m} - n_nonzero) AS DOUBLE)
+               END AS hll_estimate
+        FROM his
+    """
