@@ -168,6 +168,34 @@ def test_invalid_p_rejected(spark):
         hll_registers(df, p=20)
 
 
+def test_hll_catalog_snapshot_roundtrip(spark, tmp_path):
+    # the production loop: sketch batch A -> persist (snapshot=1,
+    # _SUCCESS-committed) -> batch B arrives -> merge(read, sketch(B))
+    # -> persist (snapshot=2) -> estimate == the union sketch's.
+    # O(m) state per snapshot, never a corpus re-scan.
+    from textalyzer_spark.operators.incremental import (
+        read_catalog,
+        write_catalog_snapshot,
+    )
+
+    base = str(tmp_path / "hll_catalog")
+    a_vals = [f"a{i}" for i in range(700)]
+    b_vals = [f"b{i}" for i in range(400)] + a_vals[:50]
+    p = 8
+
+    assert write_catalog_snapshot(hll_registers(_vals_df(spark, a_vals), p=p), base) == 1
+    merged = hll_merge(
+        read_catalog(spark, base),
+        hll_registers(_vals_df(spark, b_vals), p=p),
+    )
+    assert write_catalog_snapshot(merged, base) == 2
+    got = hll_estimate(read_catalog(spark, base), p=p).collect()[0]
+    want = hll_estimate(
+        hll_registers(_vals_df(spark, a_vals + b_vals), p=p), p=p
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+
+
 def test_registers_plan_partial_agg_jvm_side(spark):
     # the 10^12-doc property: register derivation is pure JVM (md5 +
     # conv + CASE ladder, no Python stage) and the MAX agg is
