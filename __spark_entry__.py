@@ -372,6 +372,52 @@ def q_incremental_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(merged, p=12)
 
 
+def _ws_tokens(df: DataFrame) -> DataFrame:
+    """Whitespace tokens of the documents table (alphabet.WS_SPLIT,
+    the one pinned cross-engine class) as a single ``tok`` column."""
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    return df.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), WS_SPLIT), lambda t: t != "")
+        ).alias("tok")
+    )
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min token-frequency sketch (Cormode-Muthukrishnan 2005;
+    depth=4 rows x 4096 counters) validated against ground truth: the
+    exact top-20 tokens with (value, cnt_exact, cnt_cms, overcount).
+    The sketch is ONE map-side-combinable SUM aggregation (<= 16384
+    rows per map partition at ANY corpus size) and lookups broadcast
+    the sketch, never shuffle the query side; every counter is an
+    exact integer, so the DuckDB twin is bit-identical. The frequency
+    twin of hll_distinct_tokens."""
+    from textalyzer_spark.operators.sketch import cms_token_report
+
+    return cms_token_report(
+        _ws_tokens(_docs(spark, sf_dir)), "tok", k=20, depth=4, width_p=12
+    )
+
+
+def q_incremental_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min catalog maintenance: per-snapshot sketch tables
+    (even-id snapshot, odd-id batch) merged by element-wise SUM — the
+    O(depth*width)-state incremental token-frequency counter. The
+    DuckDB twin sketches the UNION corpus directly, so a green gate
+    IS the cross-engine proof that merge(cms(A), cms(B)) == cms(A ∪ B)
+    exactly, counter by counter (the output is the full merged
+    register table)."""
+    from textalyzer_spark.operators.sketch import cms_merge, cms_table
+
+    old, new = _split_batches(spark, sf_dir)
+    merged = cms_merge(
+        cms_table(_ws_tokens(old), "tok", depth=4, width_p=12),
+        cms_table(_ws_tokens(new), "tok", depth=4, width_p=12),
+    )
+    return merged.orderBy("r", "bucket")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint per document."""
     from textalyzer_spark.operators.quality import fingerprint
@@ -1338,6 +1384,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "incremental_hll_tokens": q_incremental_hll_tokens,
+    "cms_token_counts": q_cms_token_counts,
+    "incremental_cms_tokens": q_incremental_cms_tokens,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1398,6 +1446,12 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _o.weighted_sample_sql(k=100, salt="ws1"),
         "hll_distinct_tokens": _o.hll_distinct_tokens_sql(p=12, salt=""),
         "incremental_hll_tokens": _o.hll_incremental_sql(p=12, salt=""),
+        "cms_token_counts": _o.cms_token_counts_sql(
+            k=20, depth=4, width_p=12, salt=""
+        ),
+        "incremental_cms_tokens": _o.cms_table_sql(
+            depth=4, width_p=12, salt=""
+        ),
         "bm25_topk": _o.bm25_topk_sql(
             ["spark", "window", "merge"], k=25
         ),

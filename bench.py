@@ -77,6 +77,7 @@ def main() -> None:
         "weighted_sample",
         "corpus_mixture",
         "hll_distinct_tokens",
+        "cms_token_counts",
         "fingerprint",
         "exact_dedup",
         "ngram_jaccard",
@@ -99,6 +100,7 @@ def main() -> None:
         "incremental_embedding_groups",
         "incremental_keep_quality",
         "incremental_hll_tokens",
+        "incremental_cms_tokens",
         "token_counts_bpe",
         "simhash_pairs",
         "cosine_topk",

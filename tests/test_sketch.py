@@ -215,6 +215,136 @@ def test_registers_plan_partial_agg_jvm_side(spark):
     assert "md5" in plan
 
 
+# ----------------------------------------------------------- count-min
+
+
+def _py_cms(values, depth, width_p, salt=""):
+    m = 1 << width_p
+    table = {}
+    for v in values:
+        for r in range(depth):
+            b = _md5_le8(f"{salt}cms{r}|{v}") % m
+            table[(r, b)] = table.get((r, b), 0) + 1
+    return table
+
+
+def _py_cms_lookup(table, v, depth, width_p, salt=""):
+    m = 1 << width_p
+    return min(
+        table.get((r, _md5_le8(f"{salt}cms{r}|{v}") % m), 0)
+        for r in range(depth)
+    )
+
+
+def test_cms_table_matches_pure_python(spark):
+    from textalyzer_spark.operators.sketch import cms_table
+
+    vals = [f"tok{i % 700}" for i in range(5000)]
+    got = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_table(_vals_df(spark, vals), depth=3, width_p=8).collect()
+    }
+    assert got == _py_cms(vals, depth=3, width_p=8)
+
+
+def test_cms_lookup_never_undercounts_and_is_tight(spark):
+    from textalyzer_spark.operators.sketch import cms_lookup, cms_table
+
+    vals = [f"tok{i % 300}" for i in range(3000)] + ["hot"] * 500
+    df = _vals_df(spark, vals)
+    sketch = cms_table(df, depth=4, width_p=12)
+    queries = _vals_df(spark, [f"tok{i}" for i in range(300)] + ["hot"])
+    got = {
+        r["value"]: r["cnt_cms"]
+        for r in cms_lookup(sketch, queries, depth=4, width_p=12).collect()
+    }
+    exact = {f"tok{i}": 10 for i in range(300)} | {"hot": 500}
+    n = len(vals)
+    for v, cnt in exact.items():
+        # CMS guarantee: never under; over by <= e/m * N w.h.p.
+        assert got[v] >= cnt
+        assert got[v] - cnt <= math.e / (1 << 12) * n * 4
+    # absent key estimates 0 in an unsaturated sketch (or tiny if
+    # every row collides — not at this fill factor)
+    absent = cms_lookup(
+        sketch, _vals_df(spark, ["never-seen"]), depth=4, width_p=12
+    ).collect()[0]["cnt_cms"]
+    assert absent <= 10
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    from textalyzer_spark.operators.sketch import cms_merge, cms_table
+
+    a = [f"a{i % 50}" for i in range(400)]
+    b = [f"b{i % 80}" for i in range(300)] + a[:100]
+    kw = dict(depth=4, width_p=8)
+    merged = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            cms_table(_vals_df(spark, a), **kw),
+            cms_table(_vals_df(spark, b), **kw),
+        ).collect()
+    }
+    union = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_table(_vals_df(spark, a + b), **kw).collect()
+    }
+    assert merged == union
+
+
+def test_cms_catalog_snapshot_roundtrip(spark, tmp_path):
+    # same production loop as the HLL catalog: sketch -> persist ->
+    # merge(read, sketch(batch)) -> persist; estimates from the read
+    # catalog equal the union sketch's. O(depth * width) state.
+    from textalyzer_spark.operators.incremental import (
+        read_catalog,
+        write_catalog_snapshot,
+    )
+    from textalyzer_spark.operators.sketch import (
+        cms_lookup,
+        cms_merge,
+        cms_table,
+    )
+
+    base = str(tmp_path / "cms_catalog")
+    kw = dict(depth=4, width_p=8)
+    a = [f"a{i % 40}" for i in range(300)]
+    b = [f"b{i % 30}" for i in range(200)] + ["a0"] * 25
+
+    assert write_catalog_snapshot(cms_table(_vals_df(spark, a), **kw), base) == 1
+    merged = cms_merge(
+        read_catalog(spark, base), cms_table(_vals_df(spark, b), **kw)
+    )
+    assert write_catalog_snapshot(merged, base) == 2
+    got = cms_lookup(
+        read_catalog(spark, base), _vals_df(spark, ["a0", "b0"]), **kw
+    ).collect()
+    want = _py_cms(a + b, **kw)
+    for row in got:
+        assert row["cnt_cms"] == _py_cms_lookup(want, row["value"], **kw)
+
+
+def test_cms_plan_jvm_partial_agg_and_broadcast_lookup(spark):
+    from textalyzer_spark.operators.sketch import cms_lookup, cms_table
+
+    df = _vals_df(spark, [f"v{i}" for i in range(100)])
+    sketch = cms_table(df, depth=4, width_p=8)
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    # pure JVM (md5 + conv), map-side partial SUM before the exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "md5" in plan
+    # lookups broadcast the (always <= depth * width rows) sketch —
+    # the query side, which may be the whole corpus, never shuffles
+    lplan = (
+        cms_lookup(sketch, df, depth=4, width_p=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in lplan
+
+
 # ---------------------------------------------------------------- A-ES
 
 

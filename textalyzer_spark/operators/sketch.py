@@ -179,6 +179,144 @@ def hll_estimate(registers: DataFrame, p: int = P_DEFAULT) -> DataFrame:
     )
 
 
+def cms_table(
+    df: DataFrame,
+    value_col: str | Column = "value",
+    depth: int = 4,
+    width_p: int = 12,
+    salt: str = "",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, "An improved
+    data stream summary: the count-min sketch and its applications")
+    of a value stream: ``(r:int, bucket:int, cnt:bigint)`` — ``depth``
+    independent hash rows of ``2^width_p`` counters each, every row
+    counting the values that hash into each bucket.
+
+    The frequency twin of :func:`hll_registers`, sharing its scale
+    shape and engine-neutral hashing:
+
+    * ONE hash aggregation with map-side partial SUM — the shuffle
+      carries at most ``depth * 2^width_p`` rows per map partition
+      however large the corpus;
+    * mergeable: counters are sums, so ``cms_merge`` (element-wise
+      add) equals the sketch of the union EXACTLY — persist one table
+      per ingest snapshot (:mod:`operators.incremental` layout) for
+      O(depth * width) incremental frequency state;
+    * deterministic and cross-engine: row ``i`` hashes with the
+      md5-LE8 base hash salted ``{salt}cms{i}|`` and buckets on the
+      low ``width_p`` bits (nibble-carved, ``_split_hash``), and every
+      counter/estimate is an exact integer — bit-identical in DuckDB.
+
+    Estimates (:func:`cms_lookup`) never undercount; the overcount is
+    ``<= e/2^width_p * N`` with probability ``1 - e^-depth``."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    _split_hash(c, width_p, salt=f"{salt}cms{i}|")[0].alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(pairs)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Sketch of the union: element-wise SUM across snapshot tables —
+    exact (not approximate) mergeability, pinned cross-engine by the
+    ``incremental_cms_tokens`` gate whose oracle sketches the union
+    corpus directly."""
+    if not tables:
+        raise ValueError("need at least one sketch table")
+    out = tables[0]
+    for other in tables[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    table: DataFrame,
+    queries: DataFrame,
+    value_col: str | Column = "value",
+    depth: int = 4,
+    width_p: int = 12,
+    salt: str = "",
+) -> DataFrame:
+    """Point-frequency estimates: ``queries`` plus a ``cnt_cms``
+    column = MIN over the ``depth`` rows of the counter each query
+    value hashes into (0 if the bucket is empty). The sketch is at
+    most ``depth * 2^width_p`` rows regardless of corpus size, so it
+    is ALWAYS broadcast — the query side (which may be the whole
+    corpus) never shuffles."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    orig = queries.columns
+    qb = queries.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _split_hash(
+                            c, width_p, salt=f"{salt}cms{i}|"
+                        )[0].alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", "rb.r", "rb.bucket")
+    joined = qb.join(F.broadcast(table), ["r", "bucket"], "left")
+    return joined.groupBy(*orig).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+            "cnt_cms"
+        )
+    )
+
+
+def cms_token_report(
+    df: DataFrame,
+    value_col: str | Column = "value",
+    k: int = 20,
+    depth: int = 4,
+    width_p: int = 12,
+    salt: str = "",
+) -> DataFrame:
+    """Estimates next to ground truth — the validation report a
+    sketch rollout is graded on at small scale: the exact top-``k``
+    values (count desc, value asc — pinned tiebreak) with
+    ``(value, cnt_exact, cnt_cms, overcount)``. Production keeps just
+    the sketch; the exact side is only sane at validation scale."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = df.select(c.alias("value"))
+    sketch = cms_table(vals, "value", depth=depth, width_p=width_p, salt=salt)
+    top = (
+        vals.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt_exact"))
+        .orderBy(F.col("cnt_exact").desc(), F.col("value"))
+        .limit(k)
+    )
+    est = cms_lookup(
+        sketch, top, "value", depth=depth, width_p=width_p, salt=salt
+    )
+    return est.select(
+        "value",
+        "cnt_exact",
+        "cnt_cms",
+        (F.col("cnt_cms") - F.col("cnt_exact")).alias("overcount"),
+    ).orderBy(F.col("cnt_exact").desc(), F.col("value"))
+
+
 def hll_distinct_report(
     df: DataFrame,
     value_col: str | Column = "value",

@@ -2217,6 +2217,80 @@ def hll_distinct_tokens_sql(p: int = 12, salt: str = "") -> str:
     """
 
 
+def _cms_bucket_sql(tok_expr: str, width_p: int, salt: str) -> str:
+    """Row-``r`` count-min bucket of ``tok_expr``: the md5-LE8 base
+    hash salted ``{salt}cms{r}|`` modulo ``2^width_p`` — identical to
+    ``sketch._split_hash``'s low-bits carve."""
+    m = 1 << width_p
+    return (
+        f"CAST(md5_number_upper(concat('{salt}cms', CAST(r AS VARCHAR),"
+        f" '|', {tok_expr})) % {m} AS INT)"
+    )
+
+
+def _cms_rows_sql(depth: int) -> str:
+    """``(VALUES (0),(1),...)`` relation of the ``depth`` hash rows."""
+    vals = ", ".join(f"({i})" for i in range(depth))
+    return f"(VALUES {vals}) AS cmrows(r)"
+
+
+def cms_table_sql(depth: int = 4, width_p: int = 12, salt: str = "") -> str:
+    """Twin of the merged-snapshot count-min sketch
+    (``sketch.cms_merge`` over even/odd doc_id batch ``cms_table``s):
+    counters are sums, so the merge equals the sketch of the union
+    EXACTLY — the oracle sketches the whole documents table. A green
+    gate is the counter-by-counter cross-engine mergeability proof."""
+    return f"""
+        WITH cmt AS (
+          SELECT unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        )
+        SELECT r, {_cms_bucket_sql("tok", width_p, salt)} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM cmt CROSS JOIN {_cms_rows_sql(depth)}
+        GROUP BY 1, 2
+    """
+
+
+def cms_token_counts_sql(
+    k: int = 20, depth: int = 4, width_p: int = 12, salt: str = ""
+) -> str:
+    """Twin of ``sketch.cms_token_report`` over the documents table's
+    whitespace tokens: identical per-row bucket derivation, exact
+    top-``k`` (count desc, token asc), estimate = MIN over rows of the
+    counter — every value an exact integer, so the gate is
+    bit-identical by construction."""
+    bucket = _cms_bucket_sql("tok", width_p, salt)
+    return f"""
+        WITH cmt AS (
+          SELECT unnest(list_filter(string_split_regex(text, '{_WS_SQL}'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), cmtop AS (
+          SELECT tok AS value, CAST(count(*) AS BIGINT) AS cnt_exact
+          FROM cmt GROUP BY 1
+          ORDER BY cnt_exact DESC, value LIMIT {k}
+        ), cmsk AS (
+          SELECT r, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM cmt CROSS JOIN {_cms_rows_sql(depth)}
+          GROUP BY 1, 2
+        ), cmq AS (
+          SELECT value, cnt_exact, r,
+                 {_cms_bucket_sql("value", width_p, salt)} AS bucket
+          FROM cmtop CROSS JOIN {_cms_rows_sql(depth)}
+        ), cme AS (
+          SELECT q.value, q.cnt_exact,
+                 MIN(coalesce(s.cnt, 0)) AS cnt_cms
+          FROM cmq q LEFT JOIN cmsk s ON q.r = s.r AND q.bucket = s.bucket
+          GROUP BY 1, 2
+        )
+        SELECT value, cnt_exact, CAST(cnt_cms AS BIGINT) AS cnt_cms,
+               CAST(cnt_cms - cnt_exact AS BIGINT) AS overcount
+        FROM cme
+    """
+
+
 def hll_incremental_sql(p: int = 12, salt: str = "") -> str:
     """Twin of the merged-snapshot estimate
     (``sketch.hll_merge`` + ``hll_estimate`` over even/odd doc_id
