@@ -317,6 +317,22 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=100, weight_col="w", salt="ws1")
 
 
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (head-domain suppression, the
+    RefinedWeb/C4 per-host quota): keep the 10 lowest-md5-variate
+    docs of EVERY source via the stratum-nested bucketed rank — live
+    buckets are pruned against the cap BEFORE any window, so a
+    mega-source never pins one sort task (the naive per-stratum
+    row_number would). Deterministic (pure function of salt, doc_id);
+    the DuckDB twin is the naive QUALIFY row_number form."""
+    from textalyzer_spark.operators.sampling import cap_per_stratum
+
+    return cap_per_stratum(
+        _docs(spark, sf_dir), cap=10, stratum_col="source",
+        salt="sc1", num_buckets=8,
+    )
+
+
 def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct-token sketch (Flajolet 2007,
     m=4096 registers) next to the exact count: one row (m, n_nonzero,
@@ -1382,6 +1398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_novelty": q_bigram_novelty,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
+    "source_cap_sample": q_source_cap_sample,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "incremental_hll_tokens": q_incremental_hll_tokens,
     "cms_token_counts": q_cms_token_counts,
@@ -1785,6 +1802,18 @@ def oracle_sql() -> dict[str, str]:
                   < CASE pred_lang
                       {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
                       ELSE {MIX_DEFAULT_RATE} END
+        """,
+        "source_cap_sample": """
+            WITH scs AS (
+              SELECT doc_id, source,
+                     CAST(md5_number_upper('sc1'
+                          || CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                       / 18446744073709551616.0 AS u
+              FROM documents
+            )
+            SELECT doc_id, source, u FROM scs
+            QUALIFY row_number()
+                      OVER (PARTITION BY source ORDER BY u, doc_id) <= 10
         """,
         "pii_redaction": _pii_oracle_sql(),
         "pipeline_decontaminated": f"""

@@ -262,3 +262,67 @@ def test_mixture_solver_composes_with_sampler(spark):
         sd = max(1.0, (n_avail * p * (1 - p)) ** 0.5)
         assert abs(got[lang] - exp) <= 5 * sd
         assert abs(got[lang] / total - share) < 0.05
+
+
+def test_cap_per_stratum_equals_naive_window(spark):
+    # the nested bucketed-rank form must equal the naive
+    # row_number() <= cap per stratum, for every bucket count
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.sampling import cap_per_stratum, sample_u
+
+    rows = [(i, f"s{i % 7}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    naive_w = Window.partitionBy("source").orderBy("u", "doc_id")
+    naive = {
+        (r["doc_id"], r["source"])
+        for r in df.select("doc_id", "source", sample_u("doc_id", "t"))
+        .withColumn("rk", F.row_number().over(naive_w))
+        .filter(F.col("rk") <= 13)
+        .collect()
+    }
+    for nb in (1, 4, 64, 1024):
+        got = {
+            (r["doc_id"], r["source"])
+            for r in cap_per_stratum(
+                df, cap=13, salt="t", num_buckets=nb
+            ).collect()
+        }
+        assert got == naive, f"num_buckets={nb}"
+
+
+def test_cap_per_stratum_cap_semantics(spark):
+    from textalyzer_spark.operators.sampling import cap_per_stratum
+
+    # big stratum capped, small stratum kept whole
+    rows = [(i, "big") for i in range(500)] + [
+        (1000 + i, "small") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = cap_per_stratum(df, cap=20, salt="c").collect()
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_s["big"]) == 20
+    assert by_s["small"] == {1000, 1001, 1002, 1003}
+    with pytest.raises(ValueError):
+        cap_per_stratum(df, cap=0)
+
+
+def test_cap_per_stratum_plan_prunes_before_window(spark):
+    # scale pins: the live-bucket join is a BroadcastHashJoin and
+    # every window in the plan is partitioned (no stratum-collapsing
+    # SinglePartition sort anywhere)
+    from textalyzer_spark.operators.sampling import cap_per_stratum
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    plan = (
+        cap_per_stratum(df, cap=5, num_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan

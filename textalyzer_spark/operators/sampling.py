@@ -251,3 +251,79 @@ def weighted_sample(
     return scored.orderBy(
         F.col("priority").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    cap: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the head-domain
+    suppression step of a web pipeline (RefinedWeb §"URL dedup",
+    C4's per-host caps): a handful of giant sources must not dominate
+    the training mixture, but every stratum should keep up to its
+    quota. Selection is deterministic: each stratum keeps its ``cap``
+    rows of LOWEST md5 variate ``u`` (doc_id tiebreak), so re-runs,
+    retries, and the DuckDB twin agree row-for-row.
+
+    Scale shape (100 TB): the naive form — ``row_number() OVER
+    (PARTITION BY stratum ORDER BY u)`` — pins a mega-source into ONE
+    sort task. This nests the two-level bucketed rank
+    (operators/order_stats.py) inside each stratum, with a prune the
+    quantile operator can't use:
+
+    1. bucket by the variate itself, ``b = floor(u * num_buckets)``
+       (order-preserving: lower bucket => strictly lower u);
+    2. per-(stratum, bucket) counts -> exclusive prefix offsets
+       (windows only over the O(strata x num_buckets) count table);
+    3. **buckets whose offset already reaches ``cap`` are dropped
+       BEFORE any window** — the broadcast inner join against live
+       buckets prunes ~(1 - num_buckets^-1 x cap/n) of a mega-source
+       at the scan;
+    4. intra-bucket ``row_number`` partitioned by (stratum, bucket),
+       kept while ``offset + rank <= cap``.
+
+    Rows entering a window per stratum ~= cap + n/num_buckets; size
+    ``num_buckets ~ n_max/cap`` so live buckets hold O(cap) rows.
+    Output: ``(id, stratum, u)``."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(stratum_col).alias("_s"),
+        sample_u(id_col, salt).alias("u"),
+    ).withColumn(
+        "_b", F.floor(F.col("u") * F.lit(float(num_buckets))).cast("long")
+    )
+    btot = t.groupBy("_s", "_b").agg(F.count(F.lit(1)).alias("_bn"))
+    boff_w = (
+        Window.partitionBy("_s")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    live = (
+        btot.select(
+            "_s",
+            "_b",
+            F.coalesce(F.sum("_bn").over(boff_w), F.lit(0).cast("long")).alias(
+                "_off"
+            ),
+        )
+        .filter(F.col("_off") < cap)
+    )
+    pruned = t.join(F.broadcast(live), ["_s", "_b"])
+    intra_w = Window.partitionBy("_s", "_b").orderBy("u", "_id")
+    return (
+        pruned.withColumn("_r", F.row_number().over(intra_w).cast("long"))
+        .filter(F.col("_off") + F.col("_r") <= cap)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").alias(stratum_col),
+            "u",
+        )
+    )
