@@ -645,3 +645,71 @@ def test_streaming_catalog_maintenance_minhash(spark, tmp_path):
     snap2 = spark.read.parquet(f"{cat}/snapshot=2")
     assert snap2.count() == 5  # every ingested doc, incl. shingle-less 11
     assert snap2.filter("signature IS NULL").count() == 1
+
+
+def test_streaming_sketch_maintenance_hll_and_cms(spark, tmp_path):
+    """Sketch-catalog maintenance: one committed register snapshot per
+    micro-batch; after two batches the catalog equals the union
+    corpus's sketch EXACTLY (register-wise MAX / element-wise SUM
+    mergeability through the stream path), and the per-batch output
+    carries the running estimate."""
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+    from textalyzer_spark.operators import incremental as inc
+    from textalyzer_spark.operators import sketch as sk
+    from textalyzer_spark.streaming.jobs import streaming_sketch_maintenance
+
+    b0 = [(1, "alpha beta gamma alpha"), (2, "delta beta")]
+    b1 = [(10, "alpha epsilon zeta"), (11, "")]
+
+    def toks(rows):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return df.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), WS_SPLIT), lambda t: t != "")
+            ).alias("tok")
+        )
+
+    for kind, params in (("hll", dict(p=8)), ("cms", dict(depth=3, width_p=8))):
+        inp = str(tmp_path / f"{kind}_in")
+        cat = str(tmp_path / f"{kind}_cat")
+        out = str(tmp_path / f"{kind}_out")
+        ckpt = str(tmp_path / f"{kind}_ck")
+        spark.createDataFrame(b0, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(inp)
+        streaming_sketch_maintenance(
+            spark, inp, cat, out, ckpt, kind=kind, **params
+        )
+        assert inc.latest_catalog_snapshot(spark, cat) == 1
+        spark.createDataFrame(b1, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(inp)
+        streaming_sketch_maintenance(
+            spark, inp, cat, out, ckpt, kind=kind, **params
+        )
+        assert inc.latest_catalog_snapshot(spark, cat) == 2
+
+        union_toks = toks(b0 + b1)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{cat}/snapshot=2").collect()
+        }
+        if kind == "hll":
+            want = {
+                (r["bucket"], r["rho"])
+                for r in sk.hll_registers(union_toks, "tok", **params).collect()
+            }
+            est = spark.read.parquet(f"{out}/batch=1").collect()[0]
+            want_est = sk.hll_estimate(
+                sk.hll_registers(union_toks, "tok", **params), **params
+            ).collect()[0]
+            assert tuple(est) == tuple(want_est)
+        else:
+            want = {
+                (r["r"], r["bucket"], r["cnt"])
+                for r in sk.cms_table(union_toks, "tok", **params).collect()
+            }
+            mass = spark.read.parquet(f"{out}/batch=1").collect()[0]
+            # 6 tokens in b0 + 3 in b1 (the empty doc adds none), x depth
+            assert mass["total_cnt"] == 9 * params["depth"]
+        assert got == want

@@ -527,6 +527,101 @@ def streaming_catalog_maintenance(
     q.awaitTermination()
 
 
+def streaming_sketch_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    catalog_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    kind: str = "hll",
+    p: int = 12,
+    depth: int = 4,
+    width_p: int = 12,
+    salt: str = "",
+    schema: str = "doc_id bigint, text string",
+) -> None:
+    """Continuous sketch-catalog maintenance: the streaming twin of
+    the mergeable HLL / count-min catalogs (operators/sketch.py), one
+    committed register snapshot per micro-batch.
+
+    Per batch N (foreachBatch, the ``streaming_catalog_maintenance``
+    slot protocol): read the sketch as of *before* slot N+1, sketch
+    the batch's whitespace tokens, MERGE (register-wise MAX for HLL,
+    element-wise SUM for count-min), write the batch's summary to
+    ``output_dir/batch=N`` and commit the merged registers to
+    ``catalog_dir/snapshot=N+1``. Both writes are deterministic
+    overwrites of slot-addressed paths, so a crash-replayed
+    micro-batch re-derives byte-identical output — exactly-once
+    without a transactional sink.
+
+    This is THE streaming shape for corpus-wide statistics at 10^12
+    docs: per-batch state is O(sketch size) (4096 registers / 16384
+    counters), never a token dictionary — a running
+    ``count(distinct)`` or full word-frequency in complete mode would
+    hold the unbounded vocabulary in the state store. Output per
+    batch: HLL -> the running distinct estimate row; CMS -> the
+    running ``(n_counters, total_cnt)`` mass row (point lookups read
+    the committed snapshot via ``sketch.cms_lookup``)."""
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+    from textalyzer_spark.operators import incremental as inc
+    from textalyzer_spark.operators import sketch as sk
+
+    if kind not in ("hll", "cms"):
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    stream = _stream(spark, input_dir, schema=schema)
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        slot = int(batch_id) + 1
+        prev = inc.latest_catalog_snapshot(
+            sp, catalog_dir, max_snapshot=slot - 1
+        )
+        toks = batch_df.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), WS_SPLIT), lambda t: t != "")
+            ).alias("tok")
+        )
+        if kind == "hll":
+            batch_sk = sk.hll_registers(toks, "tok", p=p, salt=salt)
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame([], "bucket int, rho int")
+            )
+            # estimate + snapshot are two ACTIONS over the merged
+            # registers — the derived-corpus barrier rule (BENCH.md)
+            merged = sk.hll_merge(cat, batch_sk).localCheckpoint()
+            out = sk.hll_estimate(merged, p=p)
+        else:
+            batch_sk = sk.cms_table(
+                toks, "tok", depth=depth, width_p=width_p, salt=salt
+            )
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame([], "r int, bucket int, cnt bigint")
+            )
+            merged = sk.cms_merge(cat, batch_sk).localCheckpoint()
+            out = merged.agg(
+                F.count(F.lit(1)).alias("n_counters"),
+                F.coalesce(
+                    F.sum("cnt"), F.lit(0).cast("bigint")
+                ).alias("total_cnt"),
+            )
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+        merged.write.mode("overwrite").parquet(
+            f"{catalog_dir}/snapshot={slot}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_completion_foreach(
     stream_df: DataFrame,
     checkpoint_dir: str,
