@@ -317,6 +317,33 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=100, weight_col="w", salt="ws1")
 
 
+def q_incremental_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable A-ES sample catalog: per-snapshot weighted top-100
+    tables (even/odd doc_id batches) folded by re-ranking the union
+    of STORED rows — priorities are pure functions of (salt, doc_id),
+    so merging never re-scores, and top-k(A ∪ B) == top-k(topk(A) ∪
+    topk(B)) makes the fold exact. O(k) state per snapshot. The
+    DuckDB twin samples the union corpus directly — a green gate is
+    the cross-engine mergeability proof (the hll/cms gate pattern)."""
+    from textalyzer_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_merge,
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return weighted_sample(
+            df.select(
+                "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+            ),
+            k=100,
+            weight_col="w",
+            salt="ws1",
+        )
+
+    old, new = _split_batches(spark, sf_dir)
+    return weighted_sample_merge(topk(old), topk(new), k=100)
+
+
 def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (head-domain suppression, the
     RefinedWeb/C4 per-host quota): keep the 10 lowest-md5-variate
@@ -343,17 +370,11 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting where count(distinct) would rescan 10^12 docs. The
     harmonic sum is exact-integer (decimal(38,0) vs the oracle's
     HUGEINT); the estimate is one double division."""
-    from textalyzer_spark.functions.alphabet import WS_SPLIT
     from textalyzer_spark.operators.sketch import hll_distinct_report
 
-    toks = _docs(spark, sf_dir).select(
-        F.explode(
-            F.filter(
-                F.split(F.col("text"), WS_SPLIT), lambda t: t != ""
-            )
-        ).alias("tok")
+    return hll_distinct_report(
+        _ws_tokens(_docs(spark, sf_dir)), "tok", p=12, salt=""
     )
-    return hll_distinct_report(toks, "tok", p=12, salt="")
 
 
 def q_incremental_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,26 +385,16 @@ def q_incremental_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly, so a green gate IS the cross-engine proof that
     merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly (each
     register is a MAX — associative and order-free)."""
-    from textalyzer_spark.functions.alphabet import WS_SPLIT
     from textalyzer_spark.operators.sketch import (
         hll_estimate,
         hll_merge,
         hll_registers,
     )
 
-    def toks(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.col("text"), WS_SPLIT), lambda t: t != ""
-                )
-            ).alias("tok")
-        )
-
     old, new = _split_batches(spark, sf_dir)
     merged = hll_merge(
-        hll_registers(toks(old), "tok", p=12),
-        hll_registers(toks(new), "tok", p=12),
+        hll_registers(_ws_tokens(old), "tok", p=12),
+        hll_registers(_ws_tokens(new), "tok", p=12),
     )
     return hll_estimate(merged, p=12)
 
@@ -1398,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_novelty": q_bigram_novelty,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
+    "incremental_weighted_sample": q_incremental_weighted_sample,
     "source_cap_sample": q_source_cap_sample,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "incremental_hll_tokens": q_incremental_hll_tokens,
@@ -1461,6 +1473,11 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_groups": _o.semdedup_groups_sql(threshold=0.35),
         "length_quantiles": _o.length_quantiles_sql(),
         "weighted_sample": _o.weighted_sample_sql(k=100, salt="ws1"),
+        # the union corpus IS the whole table — sampling it directly
+        # is the oracle-side mergeability proof (hll/cms gate pattern)
+        "incremental_weighted_sample": _o.weighted_sample_sql(
+            k=100, salt="ws1"
+        ),
         "hll_distinct_tokens": _o.hll_distinct_tokens_sql(p=12, salt=""),
         "incremental_hll_tokens": _o.hll_incremental_sql(p=12, salt=""),
         "cms_token_counts": _o.cms_token_counts_sql(

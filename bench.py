@@ -75,6 +75,7 @@ def main() -> None:
         "dsir_weights",
         "stratified_sample",
         "weighted_sample",
+        "incremental_weighted_sample",
         "source_cap_sample",
         "corpus_mixture",
         "hll_distinct_tokens",

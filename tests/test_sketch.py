@@ -416,3 +416,38 @@ def test_weighted_sample_plan_no_shuffle(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_weighted_sample_merge_equals_union_sample(spark, tmp_path):
+    # A-ES top-k is a mergeable bounded summary: fold of persisted
+    # per-batch top-k tables == the sample of the union corpus,
+    # row-for-row including stored double priorities (parquet
+    # round-trip is bit-exact)
+    from textalyzer_spark.operators.incremental import (
+        read_catalog,
+        write_catalog_snapshot,
+    )
+    from textalyzer_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_merge,
+    )
+
+    rows = [(i, 1 + (i * 53) % 300) for i in range(2000)]
+    a = [r for r in rows if r[0] % 2 == 0]
+    b = [r for r in rows if r[0] % 2 == 1]
+
+    def df(rs):
+        return spark.createDataFrame(rs, "doc_id bigint, w bigint")
+
+    k = 40
+    base = str(tmp_path / "aes_catalog")
+    write_catalog_snapshot(
+        weighted_sample(df(a), k=k, weight_col="w", salt="m"), base
+    )
+    merged = weighted_sample_merge(
+        read_catalog(spark, base),
+        weighted_sample(df(b), k=k, weight_col="w", salt="m"),
+        k=k,
+    )
+    want = weighted_sample(df(rows), k=k, weight_col="w", salt="m").collect()
+    assert [tuple(r) for r in merged.collect()] == [tuple(r) for r in want]

@@ -327,3 +327,31 @@ def cap_per_stratum(
             "u",
         )
     )
+
+
+def weighted_sample_merge(
+    *samples: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge persisted A-ES samples: the top-``k`` by priority of the
+    UNION of per-snapshot top-``k`` tables — EXACTLY the weighted
+    sample of the union corpus, because every union-corpus winner is
+    a winner within its own snapshot (priorities are pure functions
+    of (salt, id), so stored rows never need re-scoring).
+
+    This makes :func:`weighted_sample` the third mergeable bounded
+    summary beside the HLL and count-min catalogs
+    (operators/sketch.py): persist one k-row table per ingest batch
+    (:mod:`operators.incremental` layout) and fold them — O(k) state
+    per snapshot, never a corpus re-scan. Each input must be a
+    ``weighted_sample(..., k'>=k)`` over its batch with the same
+    salt."""
+    if k < 1:
+        raise ValueError("sample size k must be >= 1")
+    if not samples:
+        raise ValueError("need at least one sample table")
+    out = samples[0]
+    for other in samples[1:]:
+        out = out.unionByName(other)
+    return out.orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    ).limit(k)
