@@ -317,6 +317,29 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=100, weight_col="w", salt="ws1")
 
 
+def q_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate incremental exact-dedup against a Bloom membership
+    catalog (Bloom 1970; k=4 hashes, 2^16 bits): the even-id
+    snapshot's fingerprints set the bits, the odd-id batch keeps the
+    min-id doc per fingerprint whose 4 positions are NOT all set. At
+    10^12 docs the exact fingerprint catalog stores one row per doc;
+    the Bloom stores <= 2^width_p rows TOTAL for a bounded
+    novel-doc-drop rate (never keeps a seen duplicate). Deterministic
+    md5 hashing end-to-end makes the 'approximate' algorithm
+    reproducible and oracle-exact; the probe broadcasts the bit
+    table, so the batch side never shuffles."""
+    from textalyzer_spark.operators.sketch import bloom_bits, bloom_dedup_new
+
+    old, new = _split_batches(spark, sf_dir)
+    bits = bloom_bits(
+        old.select(F.md5(F.col("text")).alias("fingerprint")),
+        "fingerprint",
+        k_hashes=4,
+        width_p=16,
+    )
+    return bloom_dedup_new(new, bits, k_hashes=4, width_p=16)
+
+
 def q_incremental_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable A-ES sample catalog: per-snapshot weighted top-100
     tables (even/odd doc_id batches) folded by re-ranking the union
@@ -1410,6 +1433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "incremental_weighted_sample": q_incremental_weighted_sample,
+    "incremental_bloom_dedup": q_incremental_bloom_dedup,
     "source_cap_sample": q_source_cap_sample,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "incremental_hll_tokens": q_incremental_hll_tokens,
@@ -1485,6 +1509,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "incremental_cms_tokens": _o.cms_table_sql(
             depth=4, width_p=12, salt=""
+        ),
+        "incremental_bloom_dedup": _o.bloom_dedup_sql(
+            k_hashes=4, width_p=16, salt=""
         ),
         "bm25_topk": _o.bm25_topk_sql(
             ["spark", "window", "merge"], k=25

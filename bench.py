@@ -95,6 +95,7 @@ def main() -> None:
         "span_dedup",
         "mixture_planned_sample",
         "incremental_exact_dedup",
+        "incremental_bloom_dedup",
         "incremental_minhash",
         "incremental_simhash",
         "incremental_near_dup_groups",

@@ -451,3 +451,136 @@ def test_weighted_sample_merge_equals_union_sample(spark, tmp_path):
     )
     want = weighted_sample(df(rows), k=k, weight_col="w", salt="m").collect()
     assert [tuple(r) for r in merged.collect()] == [tuple(r) for r in want]
+
+
+# --------------------------------------------------------------- bloom
+
+
+def _py_bloom_bits(values, k, width_p, salt=""):
+    m = 1 << width_p
+    return {
+        _md5_le8(f"{salt}bf{r}|{v}") % m for v in values for r in range(k)
+    }
+
+
+def test_bloom_bits_match_pure_python_and_merge(spark):
+    from textalyzer_spark.operators.sketch import bloom_bits, bloom_merge
+
+    a = [f"a{i}" for i in range(300)]
+    b = [f"b{i}" for i in range(200)] + a[:40]
+    kw = dict(k_hashes=3, width_p=12)
+    got_a = {r["bit"] for r in bloom_bits(_vals_df(spark, a), **kw).collect()}
+    assert got_a == _py_bloom_bits(a, 3, 12)
+    merged = {
+        r["bit"]
+        for r in bloom_merge(
+            bloom_bits(_vals_df(spark, a), **kw),
+            bloom_bits(_vals_df(spark, b), **kw),
+        ).collect()
+    }
+    assert merged == _py_bloom_bits(a + b, 3, 12)
+
+
+def test_bloom_no_false_negatives_and_bounded_positives(spark):
+    from textalyzer_spark.operators.sketch import bloom_bits, bloom_contains
+
+    seen = [f"s{i}" for i in range(400)]
+    novel = [f"n{i}" for i in range(400)]
+    kw = dict(k_hashes=4, width_p=16)
+    bits = bloom_bits(_vals_df(spark, seen), **kw)
+    got = {
+        r["value"]: r["contained"]
+        for r in bloom_contains(
+            bits, _vals_df(spark, seen + novel), **kw
+        ).collect()
+    }
+    # membership NEVER misses an inserted value
+    assert all(got[v] for v in seen)
+    # false positives bounded: (1 - e^(-kn/m))^k ~ 1e-7 here; allow slack
+    assert sum(got[v] for v in novel) <= 2
+
+
+def test_bloom_dedup_subset_of_exact_with_planted_fp(spark, tmp_path):
+    # a SATURATED filter (width_p=4 -> 16 bits) forces false
+    # positives: output must be the exact survivors MINUS
+    # bloom-contained fingerprints, never a kept duplicate
+    from textalyzer_spark.operators.incremental import (
+        incremental_exact_dedup,
+        read_catalog,
+        write_catalog_snapshot,
+    )
+    from textalyzer_spark.operators.sketch import (
+        bloom_bits,
+        bloom_contains,
+        bloom_dedup_new,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"old text {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"new text {i}") for i in range(30)]
+        + [(200, "old text 7"), (201, "new text 3")],  # dup-of-old + intra dup
+        "doc_id bigint, text string",
+    )
+    for kw in (dict(k_hashes=4, width_p=16), dict(k_hashes=2, width_p=4)):
+        base = str(tmp_path / f"bloom_{kw['width_p']}")
+        write_catalog_snapshot(
+            bloom_bits(
+                old.select(F.md5("text").alias("fingerprint")),
+                "fingerprint",
+                **kw,
+            ),
+            base,
+        )
+        bits = read_catalog(spark, base)
+        got = {r["doc_id"] for r in bloom_dedup_new(new, bits, **kw).collect()}
+        exact = {
+            r["doc_id"]
+            for r in incremental_exact_dedup(
+                new,
+                old.groupBy(F.md5("text").alias("fingerprint")).agg(
+                    F.min("doc_id").alias("keep_id")
+                ),
+            ).collect()
+        }
+        assert got <= exact  # never keeps what exact drops
+        assert 200 not in got  # the seen duplicate can never survive
+        dropped = exact - got
+        if kw["width_p"] == 16:
+            assert not dropped  # unsaturated: equals the exact operator
+        else:
+            # every extra drop is a genuine bloom false positive
+            fp_fps = {
+                r["fingerprint"]
+                for r in new.filter(F.col("doc_id").isin(list(dropped)))
+                .select(F.md5("text").alias("fingerprint"))
+                .collect()
+            }
+            contained = {
+                r["fingerprint"]: r["contained"]
+                for r in bloom_contains(
+                    bits,
+                    spark.createDataFrame(
+                        [(f,) for f in fp_fps], "fingerprint string"
+                    ),
+                    "fingerprint",
+                    **kw,
+                ).collect()
+            }
+            assert all(contained.values())
+
+
+def test_bloom_probe_plan_broadcasts_bits(spark):
+    from textalyzer_spark.operators.sketch import bloom_bits, bloom_contains
+
+    df = _vals_df(spark, [f"v{i}" for i in range(100)])
+    bits = bloom_bits(df, k_hashes=4, width_p=12)
+    plan = (
+        bloom_contains(bits, df, k_hashes=4, width_p=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

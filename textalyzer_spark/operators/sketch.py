@@ -343,3 +343,122 @@ def hll_distinct_report(
             / F.col("n_distinct_exact").cast("double")
         ).alias("rel_err"),
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str | Column = "value",
+    k_hashes: int = 4,
+    width_p: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Bloom-filter membership catalog (Bloom 1970): the DISTINCT set
+    bit positions ``(bit:int)`` of a value stream under ``k_hashes``
+    independent md5-LE8 hashes over ``2^width_p`` bits.
+
+    The membership member of the mergeable-summary family
+    (:func:`hll_registers` / :func:`cms_table`): at 10^12 documents
+    the exact fingerprint catalog (operators/incremental.py) stores
+    one row PER DOC; this stores at most ``2^width_p`` rows TOTAL —
+    the price is a bounded false-positive rate
+    (``(1 - e^(-k*n/m))^k``), i.e. an approximate dedup occasionally
+    drops a genuinely novel document, never keeps a duplicate the
+    filter saw. Same scale shape as the other sketches: ONE
+    map-side-combinable distinct aggregation (shuffle <= 2^width_p
+    rows per map partition), mergeable by plain set union
+    (:func:`bloom_merge`), deterministic row-salted hashing shared
+    verbatim with the DuckDB twin. Stored as a position table rather
+    than packed binary: engine-neutral, parquet-friendly, and always
+    broadcastable on the probe side."""
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    bits = F.explode(
+        F.array(
+            *[
+                _split_hash(c, width_p, salt=f"{salt}bf{i}|")[0]
+                for i in range(k_hashes)
+            ]
+        )
+    ).alias("bit")
+    return df.select(bits).distinct()
+
+
+def bloom_merge(*tables: DataFrame) -> DataFrame:
+    """Filter of the union: the set union of per-snapshot bit tables
+    — exact mergeability (bits(A ∪ B) == bits(A) ∪ bits(B), each bit
+    an OR)."""
+    if not tables:
+        raise ValueError("need at least one bit table")
+    out = tables[0]
+    for other in tables[1:]:
+        out = out.unionByName(other)
+    return out.distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    queries: DataFrame,
+    value_col: str | Column = "value",
+    k_hashes: int = 4,
+    width_p: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """``queries`` plus a ``contained`` boolean: true iff ALL
+    ``k_hashes`` positions of the query value are set — no false
+    negatives, false positives at the Bloom rate. The bit table is
+    at most ``2^width_p`` rows, so it is ALWAYS broadcast; the query
+    side (the whole corpus) never shuffles for the probe."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    orig = queries.columns
+    qb = queries.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    _split_hash(c, width_p, salt=f"{salt}bf{i}|")[0]
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    marked = qb.join(
+        F.broadcast(bits.withColumn("_hit", F.lit(1))), ["bit"], "left"
+    )
+    return marked.groupBy(*orig).agg(
+        (F.min(F.coalesce(F.col("_hit"), F.lit(0))) == F.lit(1)).alias(
+            "contained"
+        )
+    )
+
+
+def bloom_dedup_new(
+    new_df: DataFrame,
+    bits: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_hashes: int = 4,
+    width_p: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Approximate incremental exact-dedup: the new batch's survivors
+    ``(doc_id, fingerprint)`` — grouped to min-id per fingerprint
+    (``incremental.incremental_exact_dedup`` semantics) and kept iff
+    the fingerprint is NOT contained in the prior snapshots' Bloom
+    catalog. Output ⊆ the exact operator's output: a false positive
+    drops a novel doc (bounded rate), a seen duplicate can never
+    survive. Deterministic md5 hashing end-to-end, so the result is
+    reproducible and oracle-exact despite being an "approximate"
+    algorithm."""
+    grouped = new_df.groupBy(
+        F.md5(F.col(text_col)).alias("fingerprint")
+    ).agg(F.min(id_col).alias(id_col))
+    probed = bloom_contains(
+        bits,
+        grouped,
+        "fingerprint",
+        k_hashes=k_hashes,
+        width_p=width_p,
+        salt=salt,
+    )
+    return probed.filter(~F.col("contained")).select(id_col, "fingerprint")

@@ -2291,6 +2291,43 @@ def cms_token_counts_sql(
     """
 
 
+def bloom_dedup_sql(
+    k_hashes: int = 4, width_p: int = 16, salt: str = ""
+) -> str:
+    """Twin of ``sketch.bloom_dedup_new`` over the even/odd doc_id
+    split: rebuild the even snapshot's DISTINCT bit positions, group
+    the odd batch to min-id per md5 fingerprint, and keep rows where
+    at least one of the ``k_hashes`` positions is unset. All-integer
+    md5 arithmetic — bit-identical by construction."""
+    m = 1 << width_p
+    pos = (
+        f"CAST(md5_number_upper(concat('{salt}bf', CAST(r AS VARCHAR),"
+        f" '|', fingerprint)) % {m} AS INT)"
+    )
+    rows = ", ".join(f"({i})" for i in range(k_hashes))
+    return f"""
+        WITH bfo AS (
+          SELECT md5(text) AS fingerprint
+          FROM documents WHERE doc_id % 2 = 0
+        ), bfbits AS (
+          SELECT DISTINCT {pos} AS bit
+          FROM bfo CROSS JOIN (VALUES {rows}) AS bfr(r)
+        ), bfn AS (
+          SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+        ), bfp AS (
+          SELECT doc_id, fingerprint, {pos} AS bit
+          FROM bfn CROSS JOIN (VALUES {rows}) AS bfr(r)
+        ), bfhit AS (
+          SELECT p.doc_id, p.fingerprint,
+                 MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS allhit
+          FROM bfp p LEFT JOIN bfbits b ON p.bit = b.bit
+          GROUP BY 1, 2
+        )
+        SELECT doc_id, fingerprint FROM bfhit WHERE allhit = 0
+    """
+
+
 def hll_incremental_sql(p: int = 12, salt: str = "") -> str:
     """Twin of the merged-snapshot estimate
     (``sketch.hll_merge`` + ``hll_estimate`` over even/odd doc_id
