@@ -713,3 +713,53 @@ def test_streaming_sketch_maintenance_hll_and_cms(spark, tmp_path):
             # 6 tokens in b0 + 3 in b1 (the empty doc adds none), x depth
             assert mass["total_cnt"] == 9 * params["depth"]
         assert got == want
+
+
+def test_streaming_catalog_maintenance_bloom(spark, tmp_path):
+    """Bloom-mode catalog maintenance: the approximate twin of the
+    exact mode — identical survivors on an unsaturated filter, but
+    the committed catalog is the merged bit table (bounded rows),
+    never one fingerprint row per ingested doc."""
+    from textalyzer_spark.operators import incremental as inc
+    from textalyzer_spark.operators import sketch as sk
+    from textalyzer_spark.streaming.jobs import streaming_catalog_maintenance
+
+    inp = str(tmp_path / "in")
+    cat = str(tmp_path / "cat")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(inp)
+    streaming_catalog_maintenance(spark, inp, cat, out, ckpt, method="bloom")
+    b0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert b0 == {1, 2}  # intra-batch dup 3 grouped away
+
+    spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(inp)
+    streaming_catalog_maintenance(spark, inp, cat, out, ckpt, method="bloom")
+    b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert b1 == {11}  # 10 is a seen duplicate - bloom can never keep it
+
+    # the committed state is the union BIT TABLE, not per-doc rows
+    snap2 = spark.read.parquet(f"{cat}/snapshot=2")
+    assert snap2.columns == ["bit"]
+    fps = [
+        r["fingerprint"]
+        for r in spark.read.parquet(inp)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+        .collect()
+    ]
+    want_bits = {
+        r["bit"]
+        for r in sk.bloom_bits(
+            spark.createDataFrame([(f,) for f in fps], "fingerprint string"),
+            "fingerprint",
+        ).collect()
+    }
+    assert {r["bit"] for r in snap2.collect()} == want_bits
+    assert inc.latest_catalog_snapshot(spark, cat) == 2

@@ -465,10 +465,16 @@ def streaming_catalog_maintenance(
     output = cross-snapshot near-dup pairs ``(doc_old, doc_new,
     est_jaccard)``; catalog = signatures of EVERY ingested doc
     (NULL for shingle-less — the band join filters them, the pinned
-    component-catalog rule)."""
+    component-catalog rule). ``method='bloom'``: the approximate
+    twin of 'exact' — output = batch survivors whose fingerprint is
+    not Bloom-contained in the prior snapshots (sketch.bloom_dedup_new
+    semantics: never keeps a seen duplicate, bounded novel-doc
+    drops); catalog = the merged <= 2^16-row bit table instead of
+    one fingerprint row per ingested doc, the O(bits)-state shape a
+    10^12-doc stream needs."""
     from textalyzer_spark.operators import incremental as inc
 
-    if method not in ("exact", "minhash"):
+    if method not in ("exact", "minhash", "bloom"):
         raise ValueError(f"unknown method {method!r}")
     stream = _stream(spark, input_dir, schema=schema)
 
@@ -490,6 +496,24 @@ def streaming_catalog_maintenance(
             # the derived-corpus barrier rule (BENCH.md A/B)
             out = inc.incremental_exact_dedup(batch_df, cat).localCheckpoint()
             new_cat = inc.updated_exact_catalog(cat, out)
+        elif method == "bloom":
+            from textalyzer_spark.operators import sketch as sk
+
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame([], "bit int")
+            )
+            # survivors vs the PRIOR bits, then fold the batch's own
+            # fingerprints in — two actions over the batch bits
+            out = sk.bloom_dedup_new(batch_df, cat).localCheckpoint()
+            new_cat = sk.bloom_merge(
+                cat,
+                sk.bloom_bits(
+                    batch_df.select(F.md5("text").alias("fingerprint")),
+                    "fingerprint",
+                ),
+            )
         else:
             cat = (
                 sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
