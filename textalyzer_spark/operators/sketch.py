@@ -1,11 +1,19 @@
-"""Mergeable HyperLogLog cardinality-sketch catalog.
+"""Mergeable sketch catalogs: HyperLogLog cardinality, count-min
+frequency, and Bloom membership.
 
-At 10^12 documents "how many distinct tokens / shingles / URLs does
-the corpus contain, and how does it grow per ingest batch?" cannot be
-answered with ``count(distinct ...)`` per update — the distinct set
-itself is the size of the corpus. The standard answer (Flajolet et
-al. 2007, "HyperLogLog: the analysis of a near-optimal cardinality
-estimation algorithm") is a fixed ``m = 2^p``-register sketch that is
+At 10^12 documents, corpus-wide statistics ("how many distinct
+tokens?", "how often does this token occur?", "have we seen this
+fingerprint?") cannot be answered by per-update exact passes — the
+exact state is the size of the corpus. Each operator here keeps a
+FIXED-size summary that is one map-side-combinable aggregation per
+batch, merges exactly across persisted snapshots (MAX / SUM / set
+union — the :mod:`operators.incremental` catalog layout), and hashes
+with the engine's md5-LE8 base hash so the DuckDB oracle twin is
+bit-identical despite the algorithms being "approximate".
+
+The cardinality member (Flajolet et al. 2007, "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm") is a
+fixed ``m = 2^p``-register sketch that is
 
 * **one pass, map-side combinable** — each register is a MAX over
   rows, so the shuffle carries at most ``m`` rows per map partition

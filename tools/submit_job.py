@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> None:
         default="tokenize_metrics",
         choices=["tokenize_metrics", "near_dedup", "pii_redact",
                  "exact_dedup", "repetition_stats", "pipeline_clean",
-                 "incremental_near_dedup"],
+                 "incremental_near_dedup", "corpus_stats"],
         help="tokenize_metrics runs the lineage-checkpointed span "
         "pipeline; the others are flat-table batch analyses whose "
         "output lands as parquet under --output",
@@ -131,6 +131,53 @@ def main(argv: list[str] | None = None) -> None:
                 out = labels
             snap = inc.write_catalog_snapshot(nxt, args.catalog)
             print(json.dumps({"catalog_snapshot": snap}))
+        elif args.analysis == "corpus_stats":
+            # mergeable sketch-catalog maintenance: fold this batch's
+            # whitespace tokens into the persisted HLL and count-min
+            # registers (O(sketch) state per snapshot, never a corpus
+            # re-scan) and output the running distinct/mass report
+            if not args.catalog:
+                raise SystemExit("--catalog required for corpus_stats")
+            from pyspark.sql import functions as F
+
+            from textalyzer_spark.functions.alphabet import WS_SPLIT
+            from textalyzer_spark.operators import incremental as inc
+            from textalyzer_spark.operators import sketch as sk
+
+            toks = docs.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.col("text"), WS_SPLIT), lambda t: t != ""
+                    )
+                ).alias("tok")
+            )
+            hll = sk.hll_registers(toks, "tok")
+            cms = sk.cms_table(toks, "tok")
+            try:
+                hll = sk.hll_merge(
+                    inc.read_catalog(spark, f"{args.catalog}/hll"), hll
+                )
+            except FileNotFoundError:
+                pass  # first hll snapshot
+            try:
+                cms = sk.cms_merge(
+                    inc.read_catalog(spark, f"{args.catalog}/cms"), cms
+                )
+            except FileNotFoundError:
+                pass  # first cms snapshot
+            hll = hll.localCheckpoint()  # report + snapshot = 2 actions
+            cms = cms.localCheckpoint()
+            s1 = inc.write_catalog_snapshot(hll, f"{args.catalog}/hll")
+            s2 = inc.write_catalog_snapshot(cms, f"{args.catalog}/cms")
+            out = sk.hll_estimate(hll).crossJoin(
+                F.broadcast(
+                    cms.agg(
+                        F.sum("cnt").alias("cms_total_cnt"),
+                        F.count(F.lit(1)).alias("cms_n_counters"),
+                    )
+                )
+            )
+            print(json.dumps({"hll_snapshot": s1, "cms_snapshot": s2}))
         else:
             from textalyzer_spark.operators.quality import repetition_stats
 
