@@ -584,3 +584,27 @@ def test_bloom_probe_plan_broadcasts_bits(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_weighted_histogram_equals_stream_sketch(spark):
+    # the one-pass cms_token_report rewrite rests on this identity:
+    # sketching a (value, count) histogram with integer weights ==
+    # sketching the raw multiset, counter for counter
+    from textalyzer_spark.operators.sketch import cms_table
+
+    vals = [f"t{i % 120}" for i in range(2500)] + ["hot"] * 300
+    kw = dict(depth=3, width_p=8)
+    stream = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_table(_vals_df(spark, vals), **kw).collect()
+    }
+    hist_df = (
+        _vals_df(spark, vals)
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weighted = {
+        (r["r"], r["bucket"]): r["cnt"]
+        for r in cms_table(hist_df, weight_col="n", **kw).collect()
+    }
+    assert weighted == stream

@@ -193,6 +193,7 @@ def cms_table(
     depth: int = 4,
     width_p: int = 12,
     salt: str = "",
+    weight_col: str | Column | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005, "An improved
     data stream summary: the count-min sketch and its applications")
@@ -216,8 +217,22 @@ def cms_table(
       counter/estimate is an exact integer — bit-identical in DuckDB.
 
     Estimates (:func:`cms_lookup`) never undercount; the overcount is
-    ``<= e/2^width_p * N`` with probability ``1 - e^-depth``."""
+    ``<= e/2^width_p * N`` with probability ``1 - e^-depth``.
+
+    ``weight_col``: count each row with an integer multiplicity
+    instead of 1 — the sketch of a pre-aggregated ``(value, count)``
+    histogram equals the sketch of the raw stream EXACTLY (a weighted
+    sum over the support == the sum over the multiset), letting a
+    caller that already holds per-value counts skip a second pass
+    over the raw stream (:func:`cms_token_report` does)."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = (
+        F.lit(1).cast("bigint")
+        if weight_col is None
+        else (
+            F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        ).cast("bigint")
+    )
     pairs = F.explode(
         F.array(
             *[
@@ -232,10 +247,10 @@ def cms_table(
         )
     ).alias("rb")
     return (
-        df.select(pairs)
-        .select("rb.r", "rb.bucket")
+        df.select(pairs, w.alias("_w"))
+        .select("rb.r", "rb.bucket", "_w")
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 
@@ -304,16 +319,29 @@ def cms_token_report(
     sketch rollout is graded on at small scale: the exact top-``k``
     values (count desc, value asc — pinned tiebreak) with
     ``(value, cnt_exact, cnt_cms, overcount)``. Production keeps just
-    the sketch; the exact side is only sane at validation scale."""
+    the sketch; the exact side is only sane at validation scale.
+
+    One pass over the raw stream: the exact histogram is computed
+    first and the sketch is built FROM it (weighted — exactly equal
+    to sketching the stream, see :func:`cms_table`). Two effects: the
+    second scan+explode disappears (the two aggregations exchange on
+    different keys, so Catalyst could not reuse it), and the 4-per-row
+    md5s now run over the DISTINCT support instead of every instance.
+    A/B'd at sf0.1 local[32]: 5.5 s -> 1.03 s median."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     vals = df.select(c.alias("value"))
-    sketch = cms_table(vals, "value", depth=depth, width_p=width_p, salt=salt)
-    top = (
-        vals.groupBy("value")
-        .agg(F.count(F.lit(1)).alias("cnt_exact"))
-        .orderBy(F.col("cnt_exact").desc(), F.col("value"))
-        .limit(k)
+    counts = vals.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt_exact")
     )
+    sketch = cms_table(
+        counts,
+        "value",
+        depth=depth,
+        width_p=width_p,
+        salt=salt,
+        weight_col="cnt_exact",
+    )
+    top = counts.orderBy(F.col("cnt_exact").desc(), F.col("value")).limit(k)
     est = cms_lookup(
         sketch, top, "value", depth=depth, width_p=width_p, salt=salt
     )
