@@ -608,3 +608,21 @@ def test_cms_weighted_histogram_equals_stream_sketch(spark):
         for r in cms_table(hist_df, weight_col="n", **kw).collect()
     }
     assert weighted == stream
+
+
+def test_cms_report_reuses_counts_exchange(spark, tmp_path):
+    # regression pin for the one-pass rewrite: sketch + exact top-k
+    # both consume the counts aggregation, and AQE must REUSE that
+    # exchange at runtime (ReusedExchange in the final adaptive plan)
+    # instead of re-scanning the corpus per side — reuse is a runtime
+    # AQE decision, so the plan is inspected AFTER execution
+    from textalyzer_spark.operators.sketch import cms_token_report
+
+    path = str(tmp_path / "vals")
+    _vals_df(spark, [f"t{i % 50}" for i in range(1000)]).write.parquet(path)
+    df = spark.read.parquet(path)
+    rep = cms_token_report(df, "value", k=10, depth=4, width_p=8)
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
