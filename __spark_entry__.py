@@ -317,6 +317,27 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=100, weight_col="w", salt="ws1")
 
 
+def q_length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile report from the mergeable equi-width histogram sketch
+    (width-64 buckets over n_chars): for each q, the bucket holding
+    the value at EXACT rank floor(q*(n-1))+1 plus its value range —
+    the order-statistics member of the sketch family. ONE map-side-
+    combinable SUM agg over the corpus (<= range/width rows per map
+    partition), element-wise-SUM merge across snapshots; the only
+    single-partition window runs over the bounded histogram table,
+    never the corpus. The true quantile (length_quantiles, exact) is
+    pinned inside [value_lo, value_hi] by pytest."""
+    from textalyzer_spark.operators.sketch import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    hist = value_histogram(
+        _docs(spark, sf_dir), "n_chars", bucket_width=64, min_value=0
+    )
+    return histogram_quantiles(hist, bucket_width=64, min_value=0)
+
+
 def q_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate incremental exact-dedup against a Bloom membership
     catalog (Bloom 1970; k=4 hashes, 2^16 bits): the even-id
@@ -1434,6 +1455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "incremental_weighted_sample": q_incremental_weighted_sample,
     "incremental_bloom_dedup": q_incremental_bloom_dedup,
+    "length_histogram_quantiles": q_length_histogram_quantiles,
     "source_cap_sample": q_source_cap_sample,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "incremental_hll_tokens": q_incremental_hll_tokens,
@@ -1512,6 +1534,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "incremental_bloom_dedup": _o.bloom_dedup_sql(
             k_hashes=4, width_p=16, salt=""
+        ),
+        "length_histogram_quantiles": _o.histogram_quantiles_sql(
+            bucket_width=64, min_value=0
         ),
         "bm25_topk": _o.bm25_topk_sql(
             ["spark", "window", "merge"], k=25

@@ -96,6 +96,7 @@ def main() -> None:
         "mixture_planned_sample",
         "incremental_exact_dedup",
         "incremental_bloom_dedup",
+        "length_histogram_quantiles",
         "incremental_minhash",
         "incremental_simhash",
         "incremental_near_dup_groups",

@@ -626,3 +626,69 @@ def test_cms_report_reuses_counts_exchange(spark, tmp_path):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan
+
+
+# ----------------------------------------------------- value histogram
+
+
+def test_value_histogram_matches_pure_python_and_merges(spark):
+    from textalyzer_spark.operators.sketch import (
+        histogram_merge,
+        value_histogram,
+    )
+
+    a = [(i, (i * 17) % 500) for i in range(800)]
+    b = [(1000 + i, (i * 29) % 900) for i in range(600)]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, v bigint")
+
+    def py_hist(rows, w=64):
+        h = {}
+        for _, v in rows:
+            h[v // w] = h.get(v // w, 0) + 1
+        return h
+
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in value_histogram(df(a), "v", bucket_width=64).collect()
+    }
+    assert got == py_hist(a)
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in histogram_merge(
+            value_histogram(df(a), "v", bucket_width=64),
+            value_histogram(df(b), "v", bucket_width=64),
+        ).collect()
+    }
+    assert merged == py_hist(a + b)
+
+
+def test_histogram_quantiles_bracket_exact_quantiles(spark):
+    # the sketch's [value_lo, value_hi] must CONTAIN the exact
+    # quantile from the exact distributed operator, for every q and
+    # every bucket width — the compositional guarantee a drift
+    # monitor relies on
+    from textalyzer_spark.operators.order_stats import length_quantiles
+    from textalyzer_spark.operators.sketch import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    rows = [(i, "s", 7 + (i * 13) % 997) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    exact = {
+        r["q"]: r["value"]
+        for r in length_quantiles(df, num_buckets=16).collect()
+    }
+    for w in (1, 8, 64, 4096):
+        got = histogram_quantiles(
+            value_histogram(df, "n_chars", bucket_width=w),
+            bucket_width=w,
+        ).collect()
+        assert [r["q"] for r in got] == [0.0, 0.25, 0.5, 0.75, 1.0]
+        for r in got:
+            assert r["value_lo"] <= exact[r["q"]] <= r["value_hi"], (w, r)
+        if w == 1:  # width-1 buckets ARE the exact quantiles
+            for r in got:
+                assert r["value_lo"] == exact[r["q"]]

@@ -498,3 +498,103 @@ def bloom_dedup_new(
         salt=salt,
     )
     return probed.filter(~F.col("contained")).select(id_col, "fingerprint")
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str | Column = "value",
+    bucket_width: int = 64,
+    min_value: int = 0,
+) -> DataFrame:
+    """Equi-width histogram sketch of an integer measure (document
+    length, token count): ``(bucket:bigint, cnt:bigint)`` with
+    ``bucket = floor((v - min_value) / bucket_width)``.
+
+    The order-statistics member of the mergeable-summary family: ONE
+    map-side-combinable SUM aggregation (shuffle <= value_range /
+    bucket_width rows per map partition), mergeable by element-wise
+    SUM across persisted snapshots — the running length-distribution
+    / drift monitor a 10^12-doc ingest keeps where re-ranking the
+    corpus (operators/order_stats.py, exact) would re-scan it.
+    Quantiles from the sketch (:func:`histogram_quantiles`) locate
+    the EXACT rank in the cumulative histogram and bound the value
+    within one bucket width. All-integer counts; the bucket floor is
+    an IEEE divide both engines share — oracle bit-identical."""
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = c.cast("long")
+    b = F.floor(
+        (v - F.lit(int(min_value))) / F.lit(float(bucket_width))
+    ).cast("long")
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*tables: DataFrame) -> DataFrame:
+    """Histogram of the union: element-wise SUM across snapshots —
+    exact mergeability (counts are sums)."""
+    if not tables:
+        raise ValueError("need at least one histogram table")
+    out = tables[0]
+    for other in tables[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0),
+    bucket_width: int = 64,
+    min_value: int = 0,
+) -> DataFrame:
+    """Quantile report from a histogram sketch: for each ``q``, the
+    bucket containing the value at EXACT rank ``floor(q*(n-1)) + 1``
+    (the order_stats.length_quantiles convention) plus that bucket's
+    value range — ``(q, rank, bucket, value_lo, value_hi)`` ordered
+    by q. The true quantile value lies in ``[value_lo, value_hi]``
+    (pinned in pytest against the exact operator); tighten by
+    shrinking ``bucket_width``.
+
+    The cumulative window runs over the histogram table only —
+    O(value_range / bucket_width) rows, never the corpus — so the
+    deliberate single-partition sort here is bounded by construction
+    (the corpus-side aggregation happened in
+    :func:`value_histogram`)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    n = hist.agg(F.sum("cnt").alias("n"))
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    targets = n.crossJoin(F.broadcast(qdf)).select(
+        "q",
+        (
+            F.floor(F.col("q") * (F.col("n") - 1).cast("double")) + F.lit(1)
+        ).cast("long").alias("rank"),
+    )
+    lo = F.lit(int(min_value)) + F.col("bucket") * F.lit(int(bucket_width))
+    return (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("rank")),
+        )
+        .select(
+            "q",
+            "rank",
+            "bucket",
+            lo.alias("value_lo"),
+            (lo + F.lit(int(bucket_width) - 1)).alias("value_hi"),
+        )
+        .orderBy("q")
+    )

@@ -2118,6 +2118,50 @@ def length_quantiles_sql(
     """
 
 
+def histogram_quantiles_sql(
+    quantiles: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0),
+    bucket_width: int = 64,
+    min_value: int = 0,
+) -> str:
+    """Twin of ``sketch.value_histogram`` + ``histogram_quantiles``
+    over the documents table's ``n_chars``: identical bucket floor
+    (IEEE double divide of exact ints), cumulative histogram, and
+    the exact-rank location chain from ``length_quantiles_sql``."""
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+        WITH hqt AS (
+          SELECT CAST(floor(CAST(CAST(n_chars AS BIGINT) - {min_value}
+                                 AS DOUBLE) / {float(bucket_width)!r})
+                      AS BIGINT) AS bucket
+          FROM documents
+        ), hqh AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM hqt GROUP BY 1
+        ), hqc AS (
+          SELECT bucket, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM hqh
+        ), hqn AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hqh
+        ), hqq AS (
+          SELECT unnest([{qs}]::DOUBLE[]) AS q
+        ), hqtg AS (
+          SELECT q,
+                 CAST(floor(q * CAST(n - 1 AS DOUBLE)) + 1 AS BIGINT) AS rnk
+          FROM hqn CROSS JOIN hqq
+        )
+        SELECT t.q AS q, t.rnk AS "rank", c.bucket,
+               {min_value} + c.bucket * {bucket_width} AS value_lo,
+               {min_value} + c.bucket * {bucket_width}
+                 + {bucket_width - 1} AS value_hi
+        FROM hqtg t JOIN hqc c
+          ON c.cum >= t.rnk AND c.cum - c.cnt < t.rnk
+        ORDER BY q
+    """
+
+
 # --------------------------------------------------------------------------
 # weighted sampling (operators/sampling.py: weighted_sample)
 # --------------------------------------------------------------------------
