@@ -763,3 +763,44 @@ def test_streaming_catalog_maintenance_bloom(spark, tmp_path):
     }
     assert {r["bit"] for r in snap2.collect()} == want_bits
     assert inc.latest_catalog_snapshot(spark, cat) == 2
+
+
+def test_streaming_sketch_maintenance_hist(spark, tmp_path):
+    """Histogram-kind sketch maintenance: after two batches the
+    committed catalog equals the union corpus's length histogram and
+    the per-batch output is the running quantile report."""
+    from textalyzer_spark.operators import sketch as sk
+    from textalyzer_spark.streaming.jobs import streaming_sketch_maintenance
+
+    b0 = [(1, "x" * 10), (2, "y" * 200)]
+    b1 = [(10, "z" * 90), (11, "w" * 900)]
+    inp = str(tmp_path / "in")
+    cat = str(tmp_path / "cat")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    for batch in (b0, b1):
+        spark.createDataFrame(batch, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(inp)
+        streaming_sketch_maintenance(
+            spark, inp, cat, out, ckpt, kind="hist", hist_width=64
+        )
+    union = spark.createDataFrame(b0 + b1, "doc_id bigint, text string")
+    want_hist = {
+        (r["bucket"], r["cnt"])
+        for r in sk.value_histogram(
+            union.selectExpr("length(text) AS _len"), "_len", bucket_width=64
+        ).collect()
+    }
+    got_hist = {
+        tuple(r) for r in spark.read.parquet(f"{cat}/snapshot=2").collect()
+    }
+    assert got_hist == want_hist
+    report = {
+        r["q"]: (r["value_lo"], r["value_hi"])
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    }
+    # lengths 10, 90, 200, 900 -> exact quantile values bracketed
+    for q, v in ((0.0, 10), (0.25, 10), (0.5, 90), (0.75, 200), (1.0, 900)):
+        lo, hi = report[q]
+        assert lo <= v <= hi, (q, v, lo, hi)

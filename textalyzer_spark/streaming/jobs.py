@@ -561,6 +561,7 @@ def streaming_sketch_maintenance(
     p: int = 12,
     depth: int = 4,
     width_p: int = 12,
+    hist_width: int = 64,
     salt: str = "",
     schema: str = "doc_id bigint, text string",
 ) -> None:
@@ -580,17 +581,21 @@ def streaming_sketch_maintenance(
 
     This is THE streaming shape for corpus-wide statistics at 10^12
     docs: per-batch state is O(sketch size) (4096 registers / 16384
-    counters), never a token dictionary — a running
-    ``count(distinct)`` or full word-frequency in complete mode would
-    hold the unbounded vocabulary in the state store. Output per
-    batch: HLL -> the running distinct estimate row; CMS -> the
-    running ``(n_counters, total_cnt)`` mass row (point lookups read
-    the committed snapshot via ``sketch.cms_lookup``)."""
+    counters / range-over-width histogram rows), never a token
+    dictionary — a running ``count(distinct)`` or full word-frequency
+    in complete mode would hold the unbounded vocabulary in the state
+    store. Output per batch: HLL -> the running distinct estimate
+    row; CMS -> the running ``(n_counters, total_cnt)`` mass row
+    (point lookups read the committed snapshot via
+    ``sketch.cms_lookup``); ``kind='hist'`` -> the running
+    length-quantile report (``sketch.histogram_quantiles`` over the
+    merged width-``hist_width`` histogram of ``length(text)``) — the
+    streaming drift monitor."""
     from textalyzer_spark.functions.alphabet import WS_SPLIT
     from textalyzer_spark.operators import incremental as inc
     from textalyzer_spark.operators import sketch as sk
 
-    if kind not in ("hll", "cms"):
+    if kind not in ("hll", "cms", "hist"):
         raise ValueError(f"unknown sketch kind {kind!r}")
     stream = _stream(spark, input_dir, schema=schema)
 
@@ -616,6 +621,19 @@ def streaming_sketch_maintenance(
             # registers — the derived-corpus barrier rule (BENCH.md)
             merged = sk.hll_merge(cat, batch_sk).localCheckpoint()
             out = sk.hll_estimate(merged, p=p)
+        elif kind == "hist":
+            batch_sk = sk.value_histogram(
+                batch_df.select(F.length("text").alias("_len")),
+                "_len",
+                bucket_width=hist_width,
+            )
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame([], "bucket bigint, cnt bigint")
+            )
+            merged = sk.histogram_merge(cat, batch_sk).localCheckpoint()
+            out = sk.histogram_quantiles(merged, bucket_width=hist_width)
         else:
             batch_sk = sk.cms_table(
                 toks, "tok", depth=depth, width_p=width_p, salt=salt
