@@ -218,6 +218,11 @@ MULTISCRIPT_QUERIES = [
     "contamination", "pii_redaction", "corpus_mixture",
     # round 6: the end-to-end pipeline composition
     "pipeline_clean_sample",
+    # round 6 late: the mergeable-sketch family over multiscript
+    # tokens / raw unicode text
+    "hll_distinct_tokens", "incremental_hll_tokens",
+    "cms_token_counts", "incremental_cms_tokens",
+    "incremental_bloom_dedup",
     "duplicate_lines", "line_length", "line_display_width",
     # roundtrip extractions: the synthesize->extract templates must be
     # invertible beyond latin-1 (UTF-8 PDF literals since round 4)
@@ -257,7 +262,12 @@ WS_EDGE_DOCS = [
     (6, " mix \t tabs\nnew\r\nlines \x0b\xa0 end "),
 ]
 
-WS_QUERIES = ["token_counts", "token_counts_bpe", "fingerprint"]
+WS_QUERIES = [
+    "token_counts", "token_counts_bpe", "fingerprint",
+    # the sketch family tokenizes with the same pinned WS_SPLIT class
+    "hll_distinct_tokens", "incremental_hll_tokens",
+    "cms_token_counts", "incremental_cms_tokens",
+]
 
 
 @pytest.fixture(scope="module")
