@@ -474,3 +474,56 @@ def test_driver_contract_consistency():
     assert set(oracles) == set(qs), set(oracles) ^ set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and len(s) > 100 for s in oracles.values())
+
+
+# full documents shape (doc_id, text, lang, source, n_chars) for the
+# column-dependent round-6 gates: a capped 12-doc source next to
+# singleton/small sources, n_chars planted ON bucket boundaries
+# (0/63/64/65/128) and far off the grid, a zero-length doc (the
+# weighted-sample greatest(n_chars,1) clamp).
+FULL_EDGE_DOCS = (
+    [(i, f"doc {i} text", "en", "big", [0, 63, 64, 65, 128][i % 5])
+     for i in range(12)]
+    + [(100, "", "en", "solo", 0)]
+    + [(200 + i, f"s {i}", "de", "small", 10_000 + i) for i in range(3)]
+)
+
+FULL_EDGE_QUERIES = [
+    "source_cap_sample",
+    "length_histogram_quantiles",
+    "weighted_sample",
+    "incremental_weighted_sample",
+    "corpus_mixture",
+]
+
+
+@pytest.fixture(scope="module")
+def full_edge_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("full_edge_sf")
+    spark.createDataFrame(
+        FULL_EDGE_DOCS,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FULL_EDGE_QUERIES)
+def test_full_shape_gate_mirror(spark, full_edge_sf_dir, name):
+    """The column-dependent round-6 gates agree cross-engine on a
+    corpus with a capped mega-source, singleton sources, bucket-
+    boundary and zero n_chars (the weight clamp path)."""
+    _compare(spark, full_edge_sf_dir, name)
+
+
+def test_source_cap_edge_semantics(spark, full_edge_sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.queries()["source_cap_sample"](
+        spark, full_edge_sf_dir
+    ).collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_s["big"]) == 10      # capped from 12
+    assert len(by_s["solo"]) == 1      # singleton kept whole
+    assert len(by_s["small"]) == 3
