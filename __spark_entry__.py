@@ -1412,6 +1412,19 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- never-driver-sampled gates lead the registry (the driver's
+    # correctness run may sample a prefix; these composites have green
+    # mirror runs but no driver artifact row yet — keep them first) ---
+    "pipeline_clean_sample": q_pipeline_clean_sample,
+    "pipeline_decontaminated": q_pipeline_decontaminated,
+    "incremental_near_dup_groups": q_incremental_near_dup_groups,
+    "incremental_simhash_groups": q_incremental_simhash_groups,
+    "incremental_embedding_groups": q_incremental_embedding_groups,
+    "incremental_keep_quality": q_incremental_keep_quality,
+    "near_dup_groups_simhash": q_near_dup_groups_simhash,
+    "mixture_planned_sample": q_mixture_planned_sample,
+    "contamination_by_benchmark": q_contamination_by_benchmark,
+    # --- long-green registry ---
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
     "tfidf_topk_terms": q_tfidf_topk_terms,
@@ -1466,21 +1479,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
-    "near_dup_groups_simhash": q_near_dup_groups_simhash,
     "near_dup_keep_quality": q_near_dup_keep_quality,
     "pii_redaction": q_pii_redaction,
-    "pipeline_clean_sample": q_pipeline_clean_sample,
-    "pipeline_decontaminated": q_pipeline_decontaminated,
     "corpus_mixture": q_corpus_mixture,
-    "mixture_planned_sample": q_mixture_planned_sample,
     "contamination": q_contamination,
-    "contamination_by_benchmark": q_contamination_by_benchmark,
     "incremental_exact_dedup": q_incremental_exact_dedup,
     "incremental_minhash": q_incremental_minhash,
-    "incremental_near_dup_groups": q_incremental_near_dup_groups,
-    "incremental_simhash_groups": q_incremental_simhash_groups,
-    "incremental_keep_quality": q_incremental_keep_quality,
-    "incremental_embedding_groups": q_incremental_embedding_groups,
     "incremental_simhash": q_incremental_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,

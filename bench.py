@@ -57,71 +57,10 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    bench_queries = [
-        "word_frequency",
-        "line_length",
-        "shingle_dup",
-        "readability",
-        "token_stats",
-        "quality_score",
-        "lang_id",
-        "repetition_stats",
-        "bigram_novelty",
-        "lm_perplexity",
-        "lm_perplexity_bigram",
-        "pack_sequences",
-        "pack_chunks",
-        "bm25_topk",
-        "dsir_weights",
-        "stratified_sample",
-        "weighted_sample",
-        "incremental_weighted_sample",
-        "source_cap_sample",
-        "corpus_mixture",
-        "hll_distinct_tokens",
-        "cms_token_counts",
-        "fingerprint",
-        "exact_dedup",
-        "ngram_jaccard",
-        "minhash_lsh",
-        "near_dup_groups",
-        "near_dup_groups_simhash",
-        "near_dup_keep_quality",
-        "contamination",
-        "contamination_by_benchmark",
-        "pii_redaction",
-        "pipeline_clean_sample",
-        "pipeline_decontaminated",
-        "span_dedup",
-        "mixture_planned_sample",
-        "incremental_exact_dedup",
-        "incremental_bloom_dedup",
-        "length_histogram_quantiles",
-        "incremental_minhash",
-        "incremental_simhash",
-        "incremental_near_dup_groups",
-        "incremental_simhash_groups",
-        "incremental_embedding_groups",
-        "incremental_keep_quality",
-        "incremental_hll_tokens",
-        "incremental_cms_tokens",
-        "token_counts_bpe",
-        "simhash_pairs",
-        "cosine_topk",
-        "lsh_cosine_topk",
-        "embedding_near_dup",
-        "embedding_near_dup_lsh",
-        "embedding_near_dup_groups",
-        "ivf_cosine_topk",
-        "lexical_complexity",
-        "token_counts",
-        "winnow_pairs",
-        "html_main_content",
-        "pdf_extract_text",
-        "events_windowed",
-        "sessionize",
-    ]
+    # every registered gate is benched — the list is ENUMERATED from
+    # queries() so a new gate can never silently drop out of BENCH
     qs = entrymod.queries()
+    bench_queries = list(qs)
     timings: dict[str, float] = {}
 
     # warm the JVM, parquet footer caches, AND one python worker per
