@@ -71,6 +71,45 @@ def test_bucketing_invariance(spark):
     assert by_id[40_000][2] == 4 and by_id[1_000_000][2] == 4
 
 
+def test_clustered_ids_spread_across_buckets(spark):
+    """Skew pin: snapshot-prefixed id CLUSTERS (two dense runs 10^12
+    apart) must spread over ~all buckets. Equi-width value bucketing
+    collapses this shape onto 2 buckets (one window task at scale);
+    the equi-depth quantile boundaries keep every bucket ~n/B."""
+    from textalyzer_spark.operators.packing import (
+        _depth_bucket_col,
+        _equi_depth_bounds,
+    )
+
+    ids = list(range(500)) + [10**12 + i for i in range(500)]
+    df = spark.createDataFrame(
+        [(i, "w w w") for i in ids], "doc_id bigint, text string"
+    )
+    nb = 16
+    bounds = _equi_depth_bounds(df, "doc_id", nb)
+    counts = {
+        r["b"]: r["cnt"]
+        for r in df.select(
+            _depth_bucket_col(F.col("doc_id"), bounds).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert len(counts) >= nb - 2  # ~every bucket populated
+    assert max(counts.values()) <= 2 * (len(ids) / nb)  # no mega-bucket
+
+    # end-to-end: offsets equal the naive global cumsum reference
+    got = {
+        r["doc_id"]: (r["start_offset"], r["n_tokens"])
+        for r in pack_sequences(df, seq_len=8, num_buckets=nb).collect()
+    }
+    off = 0
+    for i in sorted(ids):
+        assert got[i] == (off, 3)
+        off += 3
+
+
 def test_plan_two_level_scan(spark):
     """Scale pin: the corpus-sized window is PARTITIONED BY the range
     bucket (parallel); only the O(num_buckets) offset table may use a

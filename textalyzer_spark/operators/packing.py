@@ -10,22 +10,68 @@ The global running sum is the scale hazard: the naive
 ``sum() OVER (ORDER BY doc_id)`` funnels the whole corpus through ONE
 partition. This implementation is a two-level distributed scan:
 
-1. order-preserving range buckets over doc_id (``num_buckets``,
-   boundaries from a column-pruned min/max scan);
+1. order-preserving range buckets over doc_id — boundaries are
+   EQUI-DEPTH (sampled quantiles of doc_id via a column-pruned
+   ``percentile_approx`` scan, the ``repartitionByRange`` boundary
+   discipline), NOT equi-width value ranges: clustered or sparse id
+   spaces (snapshot-prefixed int64 ranges at 10^12 docs) would
+   collapse equi-width buckets onto one window task, while quantile
+   boundaries keep every bucket ~n/num_buckets rows regardless of the
+   id distribution;
 2. intra-bucket running sums — a window PARTITIONED BY bucket, so
    every bucket sorts and scans in parallel;
 3. bucket prefix offsets from the O(num_buckets) per-bucket totals
    (a window over that tiny table only), broadcast-joined back.
 
-All arithmetic is int64 — the gate compare is exact by construction.
-At 1000 executors, raise ``num_buckets`` with the cluster; the only
-driver-size object remains the num_buckets-row offset table.
+The OUTPUT is invariant to bucket placement (intra-bucket prefix +
+bucket offset telescopes to the exact global prefix for any
+order-preserving contiguous bucketing), so the approximate quantiles
+never touch correctness — they only balance the plan. All arithmetic
+is int64 (integral ``percentile_approx`` returns exact int64 data
+values as boundaries — no double round-trip). At 1000 executors,
+raise ``num_buckets`` with the cluster; the only driver-size object
+remains the num_buckets-row offset table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _equi_depth_bounds(
+    df: DataFrame, id_col: str, num_buckets: int
+) -> list[int] | None:
+    """Internal equi-depth bucket boundaries for ``id_col``: the
+    deduplicated ``i/num_buckets`` quantiles (exclusive of 0 and 1)
+    from one column-pruned ``percentile_approx`` scan. ``None`` for an
+    empty corpus. Boundaries are exact int64 DATA VALUES (integral
+    percentile_approx never goes through doubles), so bucketing is
+    precise even for 2^63-scale ids."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    aggs = [F.min(id_col).alias("mn")]
+    if probs:
+        aggs.append(
+            F.percentile_approx(
+                F.col(id_col).cast("long"), probs, 10_000
+            ).alias("bs")
+        )
+    row = df.agg(*aggs).first()
+    if row["mn"] is None:
+        return None
+    return sorted({int(x) for x in row["bs"]}) if probs else []
+
+
+def _depth_bucket_col(id_expr: Column, bounds: list[int]) -> Column:
+    """Order-preserving bucket index: the number of boundaries
+    strictly below ``id_expr``. A flat sum of codegen-friendly
+    indicator terms (no HOF — stays inside whole-stage codegen); cost
+    is O(num_buckets) long compares per row, negligible next to the
+    tokenize split."""
+    b: Column = F.lit(0)
+    for x in bounds:
+        b = b + F.when(id_expr > F.lit(x), 1).otherwise(0)
+    return b.cast("long")
 
 
 def pack_sequences(
@@ -54,8 +100,8 @@ def pack_sequences(
 
     # bucket boundaries: a column-pruned scan (doc_id only) — cheap
     # enough to not warrant checkpointing the token counts
-    row = df.agg(F.min(id_col), F.max(id_col)).first()
-    if row[0] is None:
+    bounds = _equi_depth_bounds(df, id_col, num_buckets)
+    if bounds is None:
         return t.select(
             "doc_id",
             F.col("n").cast("int").alias("n_tokens"),
@@ -64,10 +110,8 @@ def pack_sequences(
             F.lit(None).cast("long").alias("last_chunk"),
             F.lit(0).alias("n_chunks"),
         )
-    mn, mx = int(row[0]), int(row[1])
-    width = max(1, -(-(mx - mn + 1) // num_buckets))  # ceil
 
-    t = t.withColumn("b", ((F.col("doc_id") - F.lit(mn)) / F.lit(width)).cast("long"))
+    t = t.withColumn("b", _depth_bucket_col(F.col("doc_id"), bounds))
 
     intra_w = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
