@@ -63,6 +63,37 @@ def test_single_row_stratum(spark):
     assert got[("big", 1.0)] == (2, 2)
 
 
+def test_point_mass_stratum_spreads_buckets(spark):
+    """Skew pin: a stratum where 95% of rows share ONE value must not
+    collapse into a single (s, b) window partition — the md5 sub-key
+    inside the composite bucketing key splits the equal-value run.
+    Output still matches the naive (value, doc_id)-order reference
+    (rank->value is tie-order-insensitive)."""
+    from pyspark.sql import functions as F
+
+    rows = [("pm", 500, i) for i in range(950)]
+    rows += [("pm", 100 + i, 1000 + i) for i in range(50)]
+    assert _run(spark, rows, num_buckets=16) == _reference(rows)
+
+    # bucket spread: the internal bucketing must split the 950-row
+    # equal-value run across ~all 16 equi-depth buckets
+    from textalyzer_spark.operators.order_stats import _bucketed
+
+    df = spark.createDataFrame(
+        rows, "source string, n_chars bigint, doc_id bigint"
+    )
+    counts = [
+        r["cnt"]
+        for r in _bucketed(df, 16, "n_chars", "source", "doc_id")
+        .filter(F.col("v") == 500)
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    assert len(counts) >= 14  # ~every bucket holds part of the run
+    assert max(counts) <= 2 * (1000 / 16)  # no mega-bucket
+
+
 def test_bucket_count_invariance(spark):
     rng = random.Random(99)
     rows = [("s", rng.randrange(0, 100), i) for i in range(257)]

@@ -14,10 +14,18 @@ value)`` — pins every stratum into ONE task; a dominant source (half
 the crawl) serializes. This implementation nests the two-level
 bucketed scan (operators/packing.py) inside each stratum:
 
-1. per-stratum min/max (one tiny agg, broadcast back);
-2. order-preserving VALUE-RANGE buckets within the stratum (equal
-   values share a bucket, so the ``(value, doc_id)`` order is
-   preserved across bucket boundaries);
+1. a composite sort key ``k = value * 256 + md5_first_byte(doc_id)``
+   — the hash sub-key makes EQUAL-VALUE RUNS divisible (a point-mass
+   stratum where most rows share one length would otherwise be an
+   indivisible bucket pinning one window task) while staying monotone
+   in ``value`` first, so the value found at any rank is identical to
+   the plain ``(value, doc_id)`` order (the multiset of values in the
+   first k positions is invariant under tie reordering);
+2. order-preserving EQUI-DEPTH buckets within the stratum: boundaries
+   are per-stratum sampled quantiles of ``k`` (one
+   ``percentile_approx`` agg, broadcast back) — every bucket holds
+   ~n_s/num_buckets rows for ANY value distribution, point masses and
+   sparse outlier ranges alike;
 3. intra-bucket ranks — a window PARTITIONED BY (stratum, bucket),
    parallel everywhere;
 4. bucket prefix offsets from the O(strata x num_buckets) per-bucket
@@ -33,6 +41,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _bucketed(
+    df: DataFrame,
+    num_buckets: int,
+    value_col: str,
+    stratum_col: str,
+    id_col: str,
+) -> DataFrame:
+    """``(s, v, doc_id, k, b)``: the composite sort key ``k``
+    (value-major, md5-byte minor — point-mass value runs become
+    divisible) and the per-stratum EQUI-DEPTH bucket ``b`` (count of
+    the stratum's sampled ``k``-quantile boundaries strictly below
+    ``k`` — monotone in ``k``, so buckets are contiguous ranges of the
+    ``(k, doc_id)`` order and the two-level rank telescopes exactly).
+    The ``*256`` shift is safe for any length-like measure; ANSI mode
+    would surface an overflow loudly."""
+    t = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("doc_id"),
+    ).withColumn(
+        "k",
+        F.col("v") * F.lit(256)
+        + F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("long"),
+    )
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    if not probs:
+        return t.withColumn("b", F.lit(0).cast("long"))
+    bounds = t.groupBy("s").agg(
+        F.percentile_approx("k", probs, 10_000).alias("_bs")
+    )
+    return (
+        t.join(F.broadcast(bounds), "s")
+        .withColumn(
+            "b",
+            F.aggregate(
+                "_bs",
+                F.lit(0),
+                lambda acc, x: acc + F.when(F.col("k") > x, 1).otherwise(0),
+            ).cast("long"),
+        )
+        .select("s", "v", "doc_id", "k", "b")
+    )
 
 
 def length_quantiles(
@@ -53,22 +107,9 @@ def length_quantiles(
     Output: ``(source, q double, rank bigint, value bigint)`` ordered
     by ``(source, q)``.
     """
-    t = df.select(
-        F.col(stratum_col).alias("s"),
-        F.col(value_col).cast("long").alias("v"),
-        F.col(id_col).alias("doc_id"),
-    )
-    mm = t.groupBy("s").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-    nb = F.lit(num_buckets)
-    width = F.greatest(
-        F.lit(1).cast("long"),
-        F.floor((F.col("mx") - F.col("mn") + nb) / nb),  # ceil((mx-mn+1)/nb)
-    )
-    t = t.join(F.broadcast(mm), "s").select(
-        "s", "v", "doc_id", F.floor((F.col("v") - F.col("mn")) / width).alias("b")
-    )
+    t = _bucketed(df, num_buckets, value_col, stratum_col, id_col)
 
-    intra_w = Window.partitionBy("s", "b").orderBy("v", "doc_id")
+    intra_w = Window.partitionBy("s", "b").orderBy("k", "doc_id")
     t = t.withColumn("r", F.row_number().over(intra_w).cast("long"))
 
     btot = t.groupBy("s", "b").agg(F.count("*").alias("bn"))
