@@ -20,6 +20,7 @@ keep decision is a pure function of (salt, doc_id), so
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -177,15 +178,59 @@ def stratified_sample(
     return df.withColumn("u", u).filter(F.col("u") < rate)
 
 
+@lru_cache(maxsize=1)
+def _ln_kernel():
+    """Per-worker choice of the cross-engine-exact ``ln`` kernel
+    (glibc ``log`` == DuckDB's ``ln``), resolved ONCE per python
+    worker by a bit-exactness probe:
+
+    * vectorized ``np.log`` — IF it matches ``math.log`` bitwise on a
+      128k-value probe of the (0, 1] variate domain (plus near-1 and
+      denormal-edge values). True when numpy's AVX512 SIMD float64
+      log is off (session.py exports ``NPY_DISABLE_CPU_FEATURES=
+      AVX512F`` to the workers), making numpy fall back to a C loop
+      over glibc ``log``: vectorized speed, glibc bits.
+    * else ``np.fromiter(map(math.log, ...))`` — the fastest
+      interpreter-side scalar form (1.9x the naive list
+      comprehension, measured), bit-exact by construction.
+
+    The A/B the round-6 review asked for ("np.log then repair the
+    ulp-disagreeing elements") is infeasible on this numpy: the SIMD
+    path disagrees on ~20% of (0,1] inputs and detection would itself
+    require the scalar recompute — hence probe-and-select instead.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(0xA5)
+    h = rng.randint(0, 2**63, 1 << 16, dtype=np.int64).astype(np.float64)
+    probe = np.concatenate(
+        [
+            (h + 1.0) / _TWO64,
+            rng.random(1 << 16),
+            np.exp2(-np.arange(1.0, 64.0)),  # power-of-two spine
+            1.0 - np.arange(1.0, 64.0) * np.finfo(np.float64).eps,  # near 1
+            np.array([1.0, np.nextafter(0.0, 1.0), 1e-300, 5e-324]),
+        ]
+    )
+    probe = probe[probe > 0.0]
+    ref = np.fromiter(
+        map(math.log, probe.tolist()), dtype=np.float64, count=len(probe)
+    )
+    if bool((np.log(probe) == ref).all()):
+        return np.log
+    return lambda a: np.fromiter(
+        map(math.log, a.tolist()), dtype=np.float64, count=len(a)
+    )
+
+
 def _ln_udf():
-    """glibc ``math.log`` as an Arrow-batched scalar kernel — the
-    cross-engine-exact ``ln`` (== DuckDB's; the operators/lm.py /
-    selection.py recipe). Scalar loop, not numpy: numpy's SIMD log
-    is NOT bit-identical to glibc on every input."""
+    """The exact-``ln`` kernel (:func:`_ln_kernel`) as an
+    Arrow-batched vector UDF — the cross-engine-exact ``ln``
+    (== DuckDB's; the operators/lm.py / selection.py recipe)."""
 
     @F.pandas_udf("double")
     def lnv(u: pd.Series) -> pd.Series:
-        return pd.Series([math.log(x) for x in u], dtype="float64")
+        return pd.Series(_ln_kernel()(u.to_numpy()), dtype="float64")
 
     return lnv
 
@@ -212,7 +257,8 @@ def weighted_sample(
     re-planning, and engines. ``u = (md5-LE8(salt||id) + 1) / 2^64``
     ∈ (0, 1] so ``ln`` is always defined; the ``+1`` and the
     power-of-two division are both exact in doubles. The ``ln`` is
-    the glibc scalar kernel (bit-exact vs the DuckDB twin); a
+    the probe-selected glibc-exact kernel (:func:`_ln_kernel` —
+    vectorized when numpy's SIMD log is off, bit-exact always); a
     Spark-only deployment can swap in JVM ``F.log`` — it agrees to
     ≤1 ulp, which only ever matters to the oracle's hash compare.
 
