@@ -683,6 +683,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_line_structured_docs(spark, sf_dir), n=3)
 
 
+def q_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot C4-style span dedup: the odd-id batch rebuilt
+    against the even-id snapshot's first-occurrence span-hash catalog
+    — incremental_exact_dedup one level down (spans, not whole docs),
+    the boilerplate-stripping new-crawl workflow under the gate."""
+    from textalyzer_spark.operators.span_dedup import (
+        incremental_span_dedup,
+        span_catalog,
+    )
+
+    docs = _line_structured_docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_span_dedup(new, span_catalog(old, n=3), n=3)
+
+
 def q_duplicate_blocks_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship operator END-TO-END: candidates + the greedy
     overlap-resolution stage (reference duplication.rs:298-336), one
@@ -1424,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_groups_simhash": q_near_dup_groups_simhash,
     "mixture_planned_sample": q_mixture_planned_sample,
     "contamination_by_benchmark": q_contamination_by_benchmark,
+    "incremental_span_dedup": q_incremental_span_dedup,
     # --- long-green registry ---
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
@@ -1604,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "duplicate_lines": _o.duplicate_lines_sql(min_bytes=6),
         "span_dedup": _o.span_dedup_sql(n=3),
+        "incremental_span_dedup": _o.incremental_span_dedup_sql(n=3),
         "html_main_content": _o.html_main_content_sql(),
         "word_frequency": _o.word_frequency_sql(),
         "span_word_frequency": _o.word_frequency_sql(),

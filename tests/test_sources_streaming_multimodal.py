@@ -765,6 +765,71 @@ def test_streaming_catalog_maintenance_bloom(spark, tmp_path):
     assert inc.latest_catalog_snapshot(spark, cat) == 2
 
 
+def test_streaming_catalog_maintenance_span(spark, tmp_path):
+    """Span-mode catalog maintenance: batch docs are REBUILT against
+    the prior snapshots' first-occurrence span-hash catalog (C4-style
+    boilerplate stripping); checkpoint restart continues the slot
+    sequence; each batch's output equals the incremental batch path
+    against the slot-bounded prior catalog (crash idempotency); with
+    monotone ids the two batches together equal one-shot span_dedup
+    over the union corpus."""
+    from textalyzer_spark.operators import incremental as inc
+    from textalyzer_spark.operators import span_dedup as sd
+    from textalyzer_spark.streaming.jobs import streaming_catalog_maintenance
+
+    inp = str(tmp_path / "in")
+    cat = str(tmp_path / "cat")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    footer = "accept cookies\nprivacy policy\nall rights reserved"
+    rows0 = [(1, "alpha one\nbeta two\n" + footer), (2, "gamma\n" + footer)]
+    rows1 = [(10, footer + "\ndelta four"), (11, "unique\nlines\nonly here")]
+    schema = "doc_id bigint, text string"
+
+    spark.createDataFrame(rows0, schema).write.mode("append").parquet(inp)
+    streaming_catalog_maintenance(spark, inp, cat, out, ckpt, method="span")
+    assert inc.latest_catalog_snapshot(spark, cat) == 1
+    b0 = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in spark.read.parquet(f"{out}/batch=0").collect()
+    }
+    # batch-0 footer survives once (doc 1's occurrence is first)
+    assert b0[1] == ("alpha one\nbeta two\n" + footer, 5, 0)
+    assert b0[2] == ("gamma", 1, 3)
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(inp)
+    streaming_catalog_maintenance(spark, inp, cat, out, ckpt, method="span")
+    assert inc.latest_catalog_snapshot(spark, cat) == 2
+    b1 = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    }
+    assert b1[10] == ("delta four", 1, 3)  # cataloged footer stripped
+    assert b1[11] == ("unique\nlines\nonly here", 3, 0)
+
+    # slot-bounded replay: batch 1 against snapshot 1 (NOT the
+    # already-committed snapshot 2) re-derives the same output
+    replay = sd.incremental_span_dedup(
+        spark.createDataFrame(rows1, schema),
+        spark.read.parquet(f"{cat}/snapshot=1"),
+        n=3,
+    )
+    assert {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in replay.collect()
+    } == b1
+
+    # monotone-id batch-equivalence: streamed outputs == one-shot
+    # span_dedup over the union corpus
+    union = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in sd.span_dedup(
+            spark.createDataFrame(rows0 + rows1, schema), n=3
+        ).collect()
+    }
+    assert {**b0, **b1} == union
+
+
 def test_streaming_sketch_maintenance_hist(spark, tmp_path):
     """Histogram-kind sketch maintenance: after two batches the
     committed catalog equals the union corpus's length histogram and

@@ -23,6 +23,14 @@ window, which would single-reducer sort that mega-key. Removal
 explode + ``distinct`` and the rebuild ``groupBy(doc_id)`` are linear
 hash shuffles on bounded keys. Nothing is quadratic; no driver
 materialization.
+
+The incremental family (:func:`span_catalog` /
+:func:`incremental_span_dedup` / :func:`updated_span_catalog`) is the
+cross-snapshot form: a persisted first-occurrence catalog of span
+hashes plays the role the fingerprint catalog plays for
+:func:`operators.incremental.incremental_exact_dedup`, one level down
+(spans instead of whole documents). The streaming twin is
+``streaming_catalog_maintenance(method='span')`` in streaming/jobs.py.
 """
 
 from __future__ import annotations
@@ -33,21 +41,11 @@ from pyspark.sql import functions as F
 from textalyzer_spark.operators.lines import explode_lines
 
 
-def span_dedup(
-    df: DataFrame,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Remove all but the first occurrence of every duplicated
-    ``n``-line span and rebuild each document.
-
-    Returns one row per input document:
-    ``(doc_id, text, n_lines_kept, n_lines_removed)`` — ``text`` is
-    the reconstruction from surviving lines (empty string when every
-    line was removed or the document had none). Documents shorter
-    than ``n`` lines form no spans and pass through untouched.
-    """
+def _lines_and_spans(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half: exploded ``(id, line_number, line)`` plus
+    the ``n``-line span table ``(id, start, h)``."""
     if n < 1:
         raise ValueError("span length n must be >= 1")
     lines = explode_lines(df, id_col=id_col, text_col=text_col).select(
@@ -68,21 +66,18 @@ def span_dedup(
             F.md5("_content").alias("h"),
         )
     )
-    firsts = spans.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col), F.col("start"))).alias("first"),
-        F.count(F.lit(1)).alias("n_occ"),
-    )
-    removed_spans = (
-        spans.join(firsts, "h")
-        .filter(
-            (F.col("n_occ") > 1)
-            & ~(
-                (F.col(id_col) == F.col(f"first.{id_col}"))
-                & (F.col("start") == F.col("first.start"))
-            )
-        )
-        .select(id_col, "start")
-    )
+    return lines, spans
+
+
+def _rebuild(
+    df: DataFrame,
+    lines: DataFrame,
+    removed_spans: DataFrame,
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared back half: expand removed span starts to line numbers,
+    anti-join, rebuild each document from surviving lines in order."""
     removed_lines = removed_spans.select(
         id_col,
         F.explode(
@@ -117,4 +112,131 @@ def span_dedup(
             .cast("bigint")
             .alias("n_lines_removed"),
         )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove all but the first occurrence of every duplicated
+    ``n``-line span and rebuild each document.
+
+    Returns one row per input document:
+    ``(doc_id, text, n_lines_kept, n_lines_removed)`` — ``text`` is
+    the reconstruction from surviving lines (empty string when every
+    line was removed or the document had none). Documents shorter
+    than ``n`` lines form no spans and pass through untouched.
+    """
+    lines, spans = _lines_and_spans(df, n, id_col, text_col)
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("first"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    removed_spans = (
+        spans.join(firsts, "h")
+        .filter(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"first.{id_col}"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+        .select(id_col, "start")
+    )
+    return _rebuild(df, lines, removed_spans, n, id_col)
+
+
+# --------------------------------------------------------------------------
+# incremental / cross-snapshot (the new-crawl-vs-catalog workflow)
+# --------------------------------------------------------------------------
+
+
+def span_catalog(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-occurrence catalog of span hashes: ``(h, keep_id,
+    keep_start)`` — one row per DISTINCT ``n``-line span in the
+    snapshot, carrying its minimal ``(doc_id, start)`` occurrence.
+    O(distinct spans) state, the span-granular analog of
+    :func:`operators.incremental.exact_catalog`; built with the same
+    skew-safe ``min(struct)`` hash agg as :func:`span_dedup` (a
+    boilerplate span in millions of docs partial-aggregates map-side)."""
+    _, spans = _lines_and_spans(df, n, id_col, text_col)
+    return spans.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("first")
+    ).select(
+        "h",
+        F.col(f"first.{id_col}").alias("keep_id"),
+        F.col("first.start").alias("keep_start"),
+    )
+
+
+def incremental_span_dedup(
+    new_df: DataFrame,
+    catalog: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-dedup the NEW batch against a prior-snapshot catalog: a
+    new-batch span occurrence is removed iff its hash is already in
+    the catalog (it occurred in a prior snapshot, so this occurrence
+    is never first) OR it duplicates within the batch and is not the
+    batch-minimal ``(doc_id, start)``. Documents are rebuilt exactly
+    as :func:`span_dedup` rebuilds them.
+
+    When snapshot doc_ids are monotone (every new id > every cataloged
+    id — the append-only crawl layout), this equals :func:`span_dedup`
+    over the UNION corpus restricted to the new docs (pinned in
+    tests/test_span_dedup.py). Catalog traffic is one hash join on
+    ``h`` against the batch's spans — proportional to the batch, never
+    the catalog.
+    """
+    lines, spans = _lines_and_spans(new_df, n, id_col, text_col)
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("first"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    flagged = (
+        spans.join(firsts, "h")
+        .join(
+            catalog.select("h").withColumn("_incat", F.lit(True)),
+            "h",
+            "left",
+        )
+    )
+    removed_spans = flagged.filter(
+        F.col("_incat").isNotNull()
+        | (
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"first.{id_col}"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+    ).select(id_col, "start")
+    return _rebuild(new_df, lines, removed_spans, n, id_col)
+
+
+def updated_span_catalog(
+    catalog: DataFrame,
+    new_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The next catalog snapshot: prior entries win (their occurrence
+    stays first); span hashes unseen before enter with their
+    batch-minimal occurrence. Anti-join on ``h`` — the catalog is
+    never rewritten, only appended (the
+    :func:`operators.incremental.updated_exact_catalog` discipline)."""
+    new_cat = span_catalog(new_df, n, id_col, text_col)
+    return catalog.unionByName(
+        new_cat.join(catalog.select("h"), "h", "left_anti")
     )

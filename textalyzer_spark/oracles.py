@@ -1250,6 +1250,75 @@ def span_dedup_sql(n: int = 3) -> str:
     """
 
 
+def incremental_span_dedup_sql(
+    n: int = 3,
+    old_where: str = "doc_id % 2 = 0",
+    new_where: str = "doc_id % 2 = 1",
+) -> str:
+    """Twin of ``incremental_span_dedup`` over the synthesized line
+    corpus split into a prior snapshot (span-hash catalog source) and
+    a new batch: a new-batch span occurrence is removed iff its hash
+    is in the catalog OR it is a non-first duplicate within the batch
+    (row_number twin of the engine's skew-safe min(struct)); new-batch
+    documents are rebuilt from surviving lines."""
+    prefix = _dup_candidates_ctes().split("), ne AS (")[0]
+    content = " || chr(10) || ".join(
+        ["line"] + [f"lead(line, {i}) OVER sdw" for i in range(1, n)]
+    )
+    last = f"lead(line, {n - 1}) OVER sdw" if n > 1 else "line"
+    offs = ", ".join(str(i) for i in range(n))
+    return f"""
+        WITH {prefix}
+        ), sp0 AS (
+          SELECT doc_id, line_number AS start,
+                 {content} AS content, {last} AS last_l
+          FROM lines
+          WINDOW sdw AS (PARTITION BY doc_id ORDER BY line_number)
+        ), sp AS (
+          SELECT doc_id, start, md5(content) AS h
+          FROM sp0 WHERE last_l IS NOT NULL
+        ), cat AS (
+          SELECT DISTINCT h FROM sp WHERE {old_where}
+        ), ranked AS (
+          SELECT doc_id, start, h,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, start) AS rn
+          FROM sp WHERE {new_where}
+        ), remspan AS (
+          SELECT doc_id, start FROM ranked r
+          WHERE rn > 1
+             OR EXISTS (SELECT 1 FROM cat c WHERE c.h = r.h)
+        ), remline AS (
+          SELECT DISTINCT doc_id, start + i AS line_number
+          FROM remspan, (SELECT unnest([{offs}]) AS i) offsets
+        ), keptl AS (
+          SELECT l.doc_id, l.line_number, l.line
+          FROM lines l
+          WHERE {new_where.replace('doc_id', 'l.doc_id')}
+            AND NOT EXISTS (
+            SELECT 1 FROM remline r
+            WHERE r.doc_id = l.doc_id AND r.line_number = l.line_number
+          )
+        ), reb AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY line_number) AS text,
+                 count(*) AS n_lines_kept
+          FROM keptl GROUP BY doc_id
+        ), nrem AS (
+          SELECT doc_id, count(*) AS n_lines_removed
+          FROM remline GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.text, '') AS text,
+               CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+               CAST(coalesce(m.n_lines_removed, 0) AS BIGINT)
+                 AS n_lines_removed
+        FROM docs d
+        LEFT JOIN reb r USING (doc_id)
+        LEFT JOIN nrem m USING (doc_id)
+        WHERE {new_where.replace('doc_id', 'd.doc_id')}
+    """
+
+
 def duplicate_blocks_resolved_sql(
     max_locations_per_line: int = 1000,
     min_lines: int = 3,

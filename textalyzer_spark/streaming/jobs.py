@@ -471,10 +471,16 @@ def streaming_catalog_maintenance(
     semantics: never keeps a seen duplicate, bounded novel-doc
     drops); catalog = the merged <= 2^16-row bit table instead of
     one fingerprint row per ingested doc, the O(bits)-state shape a
-    10^12-doc stream needs."""
+    10^12-doc stream needs. ``method='span'``: C4-style span dedup one
+    level below 'exact' — output = the batch's docs REBUILT with every
+    line of a previously-seen (or batch-duplicated non-first) ``k``-line
+    span removed (``incremental_span_dedup``, span length = this
+    function's ``k`` arg); catalog = the first-occurrence span-hash
+    table ``(h, keep_id, keep_start)``, appended via anti-join so
+    prior occurrences always stay first."""
     from textalyzer_spark.operators import incremental as inc
 
-    if method not in ("exact", "minhash", "bloom"):
+    if method not in ("exact", "minhash", "bloom", "span"):
         raise ValueError(f"unknown method {method!r}")
     stream = _stream(spark, input_dir, schema=schema)
 
@@ -496,6 +502,20 @@ def streaming_catalog_maintenance(
             # the derived-corpus barrier rule (BENCH.md A/B)
             out = inc.incremental_exact_dedup(batch_df, cat).localCheckpoint()
             new_cat = inc.updated_exact_catalog(cat, out)
+        elif method == "span":
+            from textalyzer_spark.operators import span_dedup as sd
+
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame(
+                    [], "h string, keep_id bigint, keep_start int"
+                )
+            )
+            # rebuilt docs + catalog are two ACTIONS over the batch's
+            # spans — the derived-corpus barrier rule (BENCH.md A/B)
+            out = sd.incremental_span_dedup(batch_df, cat, n=k).localCheckpoint()
+            new_cat = sd.updated_span_catalog(cat, batch_df, n=k)
         elif method == "bloom":
             from textalyzer_spark.operators import sketch as sk
 
