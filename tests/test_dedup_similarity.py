@@ -466,6 +466,53 @@ def test_semdedup_groups_planted_clusters(spark):
     assert keep[20] and keep[21]
 
 
+def test_semdedup_mega_cluster_blocks_bounded(spark):
+    """The n_clusters∝corpus rule's safety net: even when the
+    quantizer funnels (nearly) the whole corpus into ONE cluster, the
+    per-cluster block nesting splits it into ceil(n_c / block_size)
+    hash blocks — the largest task stays ~block_size rows, never the
+    cluster. (Compute is still O(n_c^2) by the paper's semantics —
+    scaling n_clusters with the corpus is what bounds THAT; this pins
+    that no single task concentrates it.)"""
+    from textalyzer_spark.operators.similarity import _cluster_blocks
+
+    n, bs = 4000, 256
+    assigned = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("vec"),
+        F.lit(0).cast("int").alias("cluster"),
+    )
+    blocked = _cluster_blocks(assigned, block_size=bs)
+    sizes = [len(r["items"]) for r in blocked.collect()]
+    assert len(sizes) == -(-n // bs)  # 16 blocks, not one mega task
+    assert sum(sizes) == n
+    assert max(sizes) <= 2 * bs  # xxhash64-balanced, no block ~ cluster
+
+
+def test_seed_sample_prefilter_is_exact_with_fallback(spark):
+    """The '0'-nibble pre-filter never changes the quantizer sample:
+    on a corpus with >= sample_size hashes in the filtered slice it
+    equals the unfiltered top-N by construction; on a small corpus the
+    fallback re-runs unfiltered."""
+    from textalyzer_spark.operators.similarity import _seed_sample
+
+    h = F.md5(F.col("vec_id").cast("string"))
+    v = spark.range(20000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("vec")
+    )
+    got = [r["vec_id"] for r in _seed_sample(v, 256)]
+    want = [
+        r["vec_id"] for r in v.orderBy(h, "vec_id").limit(256).collect()
+    ]
+    assert got == want
+    small = v.filter(F.col("vec_id") < 300)  # slice holds < 256 '0'-hashes
+    got_s = [r["vec_id"] for r in _seed_sample(small, 256)]
+    want_s = [
+        r["vec_id"] for r in small.orderBy(h, "vec_id").limit(256).collect()
+    ]
+    assert got_s == want_s and len(got_s) == 256
+
+
 def test_semdedup_pairs_match_brute_within_cluster(spark):
     """Every semdedup pair must also be a brute-force pair (same
     threshold, same rounding) — clustering only PRUNES candidates,

@@ -420,6 +420,74 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def _seed_sample(v: DataFrame, sample_size: int) -> list:
+    """Deterministic bounded quantizer-training sample: the smallest
+    ``sample_size`` ``md5(vec_id)`` hashes (TakeOrderedAndProject —
+    per-partition top-N + driver merge, never a full sort); the driver
+    holds sample_size x dim doubles. Hash order decorrelates the
+    sample from id assignment — lowest-id sampling skews centroids
+    when ids track source/time.
+
+    A TABLESAMPLE-style pre-filter keeps only hashes with first
+    nibble '0' (1/16 of the corpus) before the top-N: whenever that
+    slice still yields ``sample_size`` rows, the global smallest
+    hashes ALL start with '0' (any other hash exceeds every kept
+    one), so the result is exactly the unfiltered top-N — at 100 TB
+    the per-row heap compare is skipped for 15/16 of the corpus. A
+    short slice (small corpus) falls back to the unfiltered pass, so
+    the selection — and the DuckDB twin that unrolls it — never
+    changes."""
+    h = F.md5(F.col("vec_id").cast("string"))
+    srows = (
+        v.filter(h.startswith("0"))
+        .orderBy(h, "vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    if len(srows) < sample_size:
+        srows = v.orderBy(h, "vec_id").limit(sample_size).collect()
+    return srows
+
+
+def _cluster_blocks(assigned: DataFrame, block_size: int) -> DataFrame:
+    """Per-cluster hash blocks for the intra-cluster pair scan:
+    ``(cluster, bid, items)`` with ``ceil(n_c / block_size)`` blocks
+    per cluster — per-cluster counts come from an O(n_clusters)-row
+    size aggregate, so a mega cluster becomes many bounded blocks,
+    never one task (pinned in tests/test_dedup_similarity.py)."""
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    nb_rows = [
+        (int(r["cluster"]), max(1, -(-int(r["n"]) // block_size)))
+        for r in sizes
+    ]
+    nbdf = F.broadcast(
+        assigned.sparkSession.createDataFrame(nb_rows, "cluster int, nb int")
+    )
+    return (
+        assigned.join(nbdf, "cluster")
+        .groupBy(
+            "cluster",
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.col("nb"))
+            .cast("int")
+            .alias("blk"),
+        )
+        .agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("vid"), "vec")
+            ).alias("items")
+        )
+        # comparable global block id: cluster in the high 32 bits, so
+        # bx == by identifies the diagonal and bx <= by orders blocks
+        # within the cluster join
+        .select(
+            "cluster",
+            (F.col("cluster").cast("long") * F.lit(1 << 32) + F.col("blk"))
+            .alias("bid"),
+            "items",
+        )
+    )
+
+
 def _assign_nearest(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """``(vec_id, vec, cluster int)`` — nearest centroid by cosine;
     ties pick the LARGEST cluster index (the same pinned tiebreak as
@@ -581,15 +649,7 @@ def ivf_cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    # deterministic bounded sample: smallest sample_size md5(vec_id)
-    # hashes (top-N, not a full sort); driver holds sample_size x dim
-    # doubles. Hash order decorrelates the sample from id assignment —
-    # lowest-id sampling skews centroids when ids track source/time.
-    srows = (
-        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(sample_size)
-        .collect()
-    )
+    srows = _seed_sample(v, sample_size)
     q_type = dict(queries.dtypes)[query_id_col]
     id_type = dict(vectors.dtypes)[id_col]
     if not srows:
@@ -665,11 +725,7 @@ def semdedup_pairs(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    srows = (
-        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(sample_size)
-        .collect()
-    )
+    srows = _seed_sample(v, sample_size)
     id_type = dict(v.dtypes)["vec_id"]
     if not srows:
         return vectors.sparkSession.createDataFrame(
@@ -682,34 +738,7 @@ def semdedup_pairs(
     # two actions consume the assignment (size agg + pair scan) and it
     # is a python-stage pass — the multi-ACTION checkpoint rule applies
     assigned = assigned.localCheckpoint()
-    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
-    nb_rows = [(int(r["cluster"]), max(1, -(-int(r["n"]) // block_size))) for r in sizes]
-    nbdf = F.broadcast(
-        vectors.sparkSession.createDataFrame(nb_rows, "cluster int, nb int")
-    )
-    blocked = (
-        assigned.join(nbdf, "cluster")
-        .groupBy(
-            "cluster",
-            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.col("nb"))
-            .cast("int")
-            .alias("blk"),
-        )
-        .agg(
-            F.collect_list(
-                F.struct(F.col("vec_id").alias("vid"), "vec")
-            ).alias("items")
-        )
-        # comparable global block id: cluster in the high 32 bits, so
-        # bx == by identifies the diagonal and bx <= by orders blocks
-        # within the cluster join
-        .select(
-            "cluster",
-            (F.col("cluster").cast("long") * F.lit(1 << 32) + F.col("blk"))
-            .alias("bid"),
-            "items",
-        )
-    )
+    blocked = _cluster_blocks(assigned, block_size)
     x = blocked.select(
         F.col("cluster").alias("cx"),
         F.col("bid").alias("bx"),
