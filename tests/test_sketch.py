@@ -692,3 +692,77 @@ def test_histogram_quantiles_bracket_exact_quantiles(spark):
         if w == 1:  # width-1 buckets ARE the exact quantiles
             for r in got:
                 assert r["value_lo"] == exact[r["q"]]
+
+
+def test_lookup_preserves_query_rows_and_guards_internals(spark):
+    """cms_lookup / bloom_contains probe via chained broadcast joins:
+    duplicate query rows stay duplicated (no silent groupBy collapse),
+    and columns colliding with the probe internals raise (ADVICE r6)."""
+    from textalyzer_spark.operators.sketch import (
+        bloom_bits,
+        bloom_contains,
+        cms_lookup,
+        cms_table,
+    )
+
+    src = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "value string"
+    )
+    sketch = cms_table(src, "value")
+    dup_q = spark.createDataFrame([("a",), ("a",)], "value string")
+    got = cms_lookup(sketch, dup_q, "value").collect()
+    assert [r["cnt_cms"] for r in got] == [2, 2]  # both rows kept
+
+    bits = bloom_bits(src, "value")
+    got_b = bloom_contains(bits, dup_q, "value").collect()
+    assert [r["contained"] for r in got_b] == [True, True]
+    miss = bloom_contains(
+        bits, spark.createDataFrame([("zzz",)], "value string"), "value"
+    ).collect()
+    assert got_b[0]["contained"] and isinstance(miss[0]["contained"], bool)
+
+    with pytest.raises(ValueError, match="_cms_"):
+        cms_lookup(
+            sketch,
+            dup_q.withColumn("_cms_b0", F.lit(1)),
+            "value",
+        )
+    with pytest.raises(ValueError, match="_bf_"):
+        bloom_contains(
+            bits,
+            dup_q.withColumn("_bf_h1", F.lit(1)),
+            "value",
+        )
+
+
+def test_value_histogram_excludes_null_measures(spark):
+    """A NULL measure contributes no bucket (and so can't shift the
+    cumulative ranks differently per engine — ADVICE r6)."""
+    from textalyzer_spark.operators.sketch import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 200), (4, None)],
+        "doc_id bigint, n bigint",
+    )
+    hist = value_histogram(df, "n", bucket_width=64)
+    rows = {r["bucket"]: r["cnt"] for r in hist.collect()}
+    assert rows == {0: 1, 3: 1}  # no NULL bucket row
+    qs = histogram_quantiles(hist, quantiles=(0.0, 1.0), bucket_width=64)
+    assert [r["rank"] for r in qs.collect()] == [1, 2]  # n=2, not 4
+
+
+def test_weighted_sample_merge_rejects_foreign_schema(spark):
+    """Merge inputs must be weighted_sample outputs (id, weight,
+    priority) — a foreign table raises instead of silently biasing
+    the fold (ADVICE r6)."""
+    from textalyzer_spark.operators.sampling import weighted_sample_merge
+
+    good = spark.createDataFrame(
+        [(1, 5, -0.5)], "doc_id bigint, weight bigint, priority double"
+    )
+    bad = spark.createDataFrame([(2, 7)], "doc_id bigint, weight bigint")
+    with pytest.raises(ValueError, match="weighted_sample table"):
+        weighted_sample_merge(good, bad, k=1)

@@ -334,7 +334,12 @@ def cap_per_stratum(
 
     Rows entering a window per stratum ~= cap + n/num_buckets; size
     ``num_buckets ~ n_max/cap`` so live buckets hold O(cap) rows.
-    Output: ``(id, stratum, u)``."""
+    The live-bucket join is deliberately NOT hint-forced to broadcast:
+    the table is <= n_strata x num_buckets rows, and at per-HOST cap
+    granularity (millions of strata) that exceeds the driver/broadcast
+    limit — AQE sees the runtime size and picks broadcast when it
+    fits, a shuffled hash join when it doesn't (both correct; ADVICE
+    r6). Output: ``(id, stratum, u)``."""
     from pyspark.sql import Window
 
     if cap < 1:
@@ -362,7 +367,7 @@ def cap_per_stratum(
         )
         .filter(F.col("_off") < cap)
     )
-    pruned = t.join(F.broadcast(live), ["_s", "_b"])
+    pruned = t.join(live, ["_s", "_b"])
     intra_w = Window.partitionBy("_s", "_b").orderBy("u", "_id")
     return (
         pruned.withColumn("_r", F.row_number().over(intra_w).cast("long"))
@@ -388,13 +393,29 @@ def weighted_sample_merge(
     summary beside the HLL and count-min catalogs
     (operators/sketch.py): persist one k-row table per ingest batch
     (:mod:`operators.incremental` layout) and fold them — O(k) state
-    per snapshot, never a corpus re-scan. Each input must be a
-    ``weighted_sample(..., k'>=k)`` over its batch with the same
-    salt."""
+    per snapshot, never a corpus re-scan.
+
+    Contract (NOT checkable from the k-row tables themselves — ADVICE
+    r6): every input must be ``weighted_sample(..., k' >= k)`` over
+    its own batch, all built with the SAME salt, over DISJOINT id
+    sets. A smaller-k' input may have already evicted a union-corpus
+    winner, and a re-salted input carries incomparable priorities —
+    either silently biases the merge. The schema is checked here;
+    the salt/k'/disjointness discipline is the snapshot layout's job
+    (one salt per catalog lineage, fixed k', batch = new ids only)."""
     if k < 1:
         raise ValueError("sample size k must be >= 1")
     if not samples:
         raise ValueError("need at least one sample table")
+    want = {id_col, "weight", "priority"}
+    for i, s in enumerate(samples):
+        if not want.issubset(set(s.columns)):
+            raise ValueError(
+                f"sample {i} is not a weighted_sample table: has "
+                f"{s.columns}, needs {sorted(want)} — merge inputs must "
+                f"be weighted_sample(..., k'>=k) outputs built with one "
+                f"shared salt over disjoint id sets"
+            )
     out = samples[0]
     for other in samples[1:]:
         out = out.unionByName(other)

@@ -280,31 +280,28 @@ def cms_lookup(
     value hashes into (0 if the bucket is empty). The sketch is at
     most ``depth * 2^width_p`` rows regardless of corpus size, so it
     is ALWAYS broadcast — the query side (which may be the whole
-    corpus) never shuffles."""
+    corpus) never shuffles: ``depth`` chained broadcast left joins
+    (one per sketch row-family), NOT explode + groupBy — so query
+    rows are preserved as-is (duplicates stay duplicated; ADVICE r6)
+    and the probe stays inside whole-stage codegen with no shuffle."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     orig = queries.columns
-    qb = queries.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        _split_hash(
-                            c, width_p, salt=f"{salt}cms{i}|"
-                        )[0].alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rb"),
-    ).select("*", "rb.r", "rb.bucket")
-    joined = qb.join(F.broadcast(table), ["r", "bucket"], "left")
-    return joined.groupBy(*orig).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
-            "cnt_cms"
+    clash = [x for x in orig if x.startswith("_cms_")]
+    if clash:
+        raise ValueError(f"queries columns collide with probe internals: {clash}")
+    out = queries
+    probes = []
+    for i in range(depth):
+        ti = table.filter(F.col("r") == i).select(
+            F.col("bucket").alias(f"_cms_b{i}"),
+            F.col("cnt").alias(f"_cms_c{i}"),
         )
-    )
+        out = out.withColumn(
+            f"_cms_b{i}", _split_hash(c, width_p, salt=f"{salt}cms{i}|")[0]
+        ).join(F.broadcast(ti), f"_cms_b{i}", "left")
+        probes.append(F.coalesce(F.col(f"_cms_c{i}"), F.lit(0).cast("bigint")))
+    cnt = probes[0] if depth == 1 else F.least(*probes)
+    return out.select(*orig, cnt.alias("cnt_cms"))
 
 
 def cms_token_report(
@@ -444,28 +441,26 @@ def bloom_contains(
     ``k_hashes`` positions of the query value are set — no false
     negatives, false positives at the Bloom rate. The bit table is
     at most ``2^width_p`` rows, so it is ALWAYS broadcast; the query
-    side (the whole corpus) never shuffles for the probe."""
+    side (the whole corpus) never shuffles for the probe:
+    ``k_hashes`` chained broadcast left joins, NOT explode + groupBy
+    — query rows are preserved as-is (duplicates stay duplicated;
+    ADVICE r6) and the probe stays shuffle-free."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     orig = queries.columns
-    qb = queries.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    _split_hash(c, width_p, salt=f"{salt}bf{i}|")[0]
-                    for i in range(k_hashes)
-                ]
-            )
-        ).alias("bit"),
-    )
-    marked = qb.join(
-        F.broadcast(bits.withColumn("_hit", F.lit(1))), ["bit"], "left"
-    )
-    return marked.groupBy(*orig).agg(
-        (F.min(F.coalesce(F.col("_hit"), F.lit(0))) == F.lit(1)).alias(
-            "contained"
+    clash = [x for x in orig if x.startswith("_bf_")]
+    if clash:
+        raise ValueError(f"queries columns collide with probe internals: {clash}")
+    out = queries
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        ti = bits.select(
+            F.col("bit").alias(f"_bf_b{i}"), F.lit(1).alias(f"_bf_h{i}")
         )
-    )
+        out = out.withColumn(
+            f"_bf_b{i}", _split_hash(c, width_p, salt=f"{salt}bf{i}|")[0]
+        ).join(F.broadcast(ti), f"_bf_b{i}", "left")
+        hit = hit & F.col(f"_bf_h{i}").isNotNull()
+    return out.select(*orig, hit.alias("contained"))
 
 
 def bloom_dedup_new(
@@ -519,7 +514,13 @@ def value_histogram(
     Quantiles from the sketch (:func:`histogram_quantiles`) locate
     the EXACT rank in the cumulative histogram and bound the value
     within one bucket width. All-integer counts; the bucket floor is
-    an IEEE divide both engines share — oracle bit-identical."""
+    an IEEE divide both engines share — oracle bit-identical.
+
+    NULL measures are EXCLUDED (a null text's null length is not a
+    rank-0 value): a NULL bucket row would also sort NULLS FIRST in
+    Spark's cumulative window but NULLS LAST in DuckDB's, silently
+    shifting every rank cross-engine (ADVICE r6) — both engines now
+    see the same non-null bucket domain."""
     if bucket_width < 1:
         raise ValueError("bucket_width must be >= 1")
     c = F.col(value_col) if isinstance(value_col, str) else value_col
@@ -529,6 +530,7 @@ def value_histogram(
     ).cast("long")
     return (
         df.select(b.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

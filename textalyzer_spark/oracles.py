@@ -2202,7 +2202,10 @@ def histogram_quantiles_sql(
           SELECT CAST(floor(CAST(CAST(n_chars AS BIGINT) - {min_value}
                                  AS DOUBLE) / {float(bucket_width)!r})
                       AS BIGINT) AS bucket
-          FROM documents
+          -- null measures are excluded in both engines: a NULL bucket
+          -- sorts NULLS FIRST in Spark's cumulative window but NULLS
+          -- LAST here, shifting every rank (ADVICE r6)
+          FROM documents WHERE n_chars IS NOT NULL
         ), hqh AS (
           SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
           FROM hqt GROUP BY 1

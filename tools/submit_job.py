@@ -172,7 +172,11 @@ def main(argv: list[str] | None = None) -> None:
             out = sk.hll_estimate(hll).crossJoin(
                 F.broadcast(
                     cms.agg(
-                        F.sum("cnt").alias("cms_total_cnt"),
+                        # coalesce: an empty first batch must report 0
+                        # mass, not NULL (matches the streaming twin)
+                        F.coalesce(
+                            F.sum("cnt"), F.lit(0).cast("bigint")
+                        ).alias("cms_total_cnt"),
                         F.count(F.lit(1)).alias("cms_n_counters"),
                     )
                 )
