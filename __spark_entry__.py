@@ -1078,6 +1078,71 @@ def q_pipeline_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp.select("doc_id", F.md5("text").alias("clean_md5"), "u")
 
 
+PIPELINE_SOURCE_CAP = 15
+PIPELINE_CAP_SALT = "pc1"
+
+
+def q_pipeline_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pipeline WITH head-domain suppression — the
+    RefinedWeb/C4-style per-host quota applied where a production
+    recipe applies it, between dedup and the mixture sample:
+
+      quality gate → PII redaction → exact dedup → near-dup cluster
+      resolution → per-SOURCE cap (cap_per_stratum, the pruned
+      stratum-nested bucketed rank — a mega-source never pins one
+      sort task) → language-stratified deterministic sample
+
+    Output: kept ``(doc_id, source, clean_md5, u)``. The DuckDB
+    oracle composes the stage oracles with the cap stage's naive
+    QUALIFY row_number twin over the same derived corpus."""
+    from textalyzer_spark.operators.near_dedup import near_dedup
+    from textalyzer_spark.operators.pii import redact_pii, synthesize_pii
+    from textalyzer_spark.operators.quality import lang_id, quality_score
+    from textalyzer_spark.operators.sampling import (
+        cap_per_stratum,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pdoc = synthesize_pii(docs)
+    qkeep = (
+        quality_score(pdoc)
+        .filter(F.col("quality_score") >= PIPELINE_QMIN)
+        .select("doc_id")
+    )
+    clean = redact_pii(pdoc.join(qkeep, "doc_id")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    keep_exact = (
+        clean.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = clean.join(keep_exact, "doc_id")
+    # multi-ACTION barrier (same A/B rationale as pipeline_clean_sample)
+    deduped = deduped.localCheckpoint()
+    nd = near_dedup(
+        deduped, method="minhash", k=5, num_hashes=32, bands=8,
+        threshold=0.1,
+    )
+    kept = deduped.join(nd.filter("keep").select("doc_id"), "doc_id").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    capped = cap_per_stratum(
+        kept, cap=PIPELINE_SOURCE_CAP, stratum_col="source",
+        salt=PIPELINE_CAP_SALT, num_buckets=8,
+    )
+    kept2 = kept.join(capped.select("doc_id"), "doc_id")
+    lang = lang_id(kept2).select("doc_id", "pred_lang")
+    samp = stratified_sample(
+        kept2.join(lang, "doc_id"), "pred_lang", MIX_RATES,
+        MIX_DEFAULT_RATE, salt=MIX_SALT,
+    )
+    return samp.select(
+        "doc_id", "source", F.md5("text").alias("clean_md5"), "u"
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection (decontamination step):
     docs with doc_id % 97 == 0 play the held-out benchmark; every
@@ -1441,6 +1506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_planned_sample": q_mixture_planned_sample,
     "contamination_by_benchmark": q_contamination_by_benchmark,
     "incremental_span_dedup": q_incremental_span_dedup,
+    "pipeline_capped_sample": q_pipeline_capped_sample,
     # --- long-green registry ---
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
@@ -1999,6 +2065,52 @@ def oracle_sql() -> dict[str, str]:
             FROM sdocs s JOIN lang USING (doc_id)
             WHERE CAST(md5_number_upper('{MIX_SALT}'
                        || CAST(s.doc_id AS VARCHAR)) AS DOUBLE)
+                    / 18446744073709551616.0
+                  < CASE pred_lang
+                      {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}
+                      ELSE {MIX_DEFAULT_RATE} END
+        """,
+        "pipeline_capped_sample": f"""
+            WITH RECURSIVE {_pii_pdoc_cte()}, p0 AS (
+              SELECT doc_id, t AS text FROM pdoc
+            ), {_quality_ctes(_toks, source="p0")}, gated AS (
+              SELECT p.doc_id, p.text
+              FROM p0 p JOIN qscore q USING (doc_id)
+              WHERE q.quality_score >= {PIPELINE_QMIN}
+            ), clean AS (
+              SELECT doc_id, {_pii_masked_expr("text")} AS text FROM gated
+            ), keepx AS (
+              SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+            ), corpus AS (
+              SELECT c.doc_id, c.text FROM clean c JOIN keepx USING (doc_id)
+            ), {_o.minhash_pairs_ctes(
+                k=5, num_hashes=32, bands=8, threshold=0.1, seed=42,
+                source="corpus",
+            )}, {_o.connected_components_ctes(
+                docs_select="SELECT doc_id FROM corpus"
+            )}, surv AS (
+              SELECT doc_id FROM cc_labels WHERE doc_id = component
+            ), sdocs AS (
+              SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)
+            ), svc AS (
+              SELECT s.doc_id, s.text, d.source,
+                     CAST(md5_number_upper('{PIPELINE_CAP_SALT}'
+                          || CAST(s.doc_id AS VARCHAR)) AS DOUBLE)
+                       / 18446744073709551616.0 AS cu
+              FROM sdocs s JOIN documents d USING (doc_id)
+            ), capped AS (
+              SELECT doc_id, text, source FROM svc
+              QUALIFY row_number() OVER (PARTITION BY source
+                                         ORDER BY cu, doc_id)
+                        <= {PIPELINE_SOURCE_CAP}
+            ), {_lang_ctes(_toks, source="capped")}
+            SELECT c.doc_id, c.source, md5(c.text) AS clean_md5,
+                   CAST(md5_number_upper('{MIX_SALT}'
+                        || CAST(c.doc_id AS VARCHAR)) AS DOUBLE)
+                     / 18446744073709551616.0 AS u
+            FROM capped c JOIN lang USING (doc_id)
+            WHERE CAST(md5_number_upper('{MIX_SALT}'
+                       || CAST(c.doc_id AS VARCHAR)) AS DOUBLE)
                     / 18446744073709551616.0
                   < CASE pred_lang
                       {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES.items()))}

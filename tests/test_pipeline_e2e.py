@@ -121,3 +121,26 @@ def test_clean_corpus_library_call(spark):
     # 11 survives WITH its email redacted
     assert set(rows) == {1, 11}
     assert "<EMAIL>" in rows[11] and "example.net" not in rows[11]
+
+
+def test_pipeline_capped_sample_respects_source_cap(spark):
+    """The capped pipeline gate: downstream of the cap stage no source
+    can exceed PIPELINE_SOURCE_CAP, and the final sample is a subset
+    of the uncapped pipeline's kept set (same upstream stages, same
+    mixture variate)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    capped = m.q_pipeline_capped_sample(spark, sf)
+    rows = capped.collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert rows and max(per_source.values()) <= m.PIPELINE_SOURCE_CAP
+    uncapped = {
+        r["doc_id"] for r in m.q_pipeline_clean_sample(spark, sf).collect()
+    }
+    assert {r["doc_id"] for r in rows} <= uncapped

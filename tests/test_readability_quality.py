@@ -311,18 +311,20 @@ def test_cap_per_stratum_cap_semantics(spark):
 
 
 def test_cap_per_stratum_plan_prunes_before_window(spark):
-    # scale pins: the live-bucket join is a BroadcastHashJoin and
-    # every window in the plan is partitioned (no stratum-collapsing
-    # SinglePartition sort anywhere)
+    # scale pins: the live-bucket join is no longer HINT-forced to
+    # broadcast (ADVICE r6 — millions of strata would exceed the
+    # broadcast limit); AQE must still PICK broadcast at runtime when
+    # the table is small, and every window in the plan is partitioned
+    # (no stratum-collapsing SinglePartition sort anywhere). AQE
+    # decisions are runtime-only: collect() first, then read the
+    # final adaptive plan.
     from textalyzer_spark.operators.sampling import cap_per_stratum
 
     rows = [(i, f"s{i % 3}") for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id bigint, source string")
-    plan = (
-        cap_per_stratum(df, cap=5, num_buckets=16)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    out = cap_per_stratum(df, cap=5, num_buckets=16)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
