@@ -338,6 +338,30 @@ def q_length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(hist, bucket_width=64, min_value=0)
 
 
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift monitor from histogram sketches alone: the
+    total-variation distance between the even-id crawl's and the
+    odd-id crawl's n_chars distributions (width-64 buckets) — the
+    data-quality check a continuous ingest runs between snapshots
+    WITHOUT re-scanning either corpus. Exact integer
+    cross-multiplication summed in decimal (no float sum-order
+    hazard), one double division at the end — value-exact vs the
+    DuckDB HUGEINT twin."""
+    from textalyzer_spark.operators.sketch import (
+        histogram_drift,
+        value_histogram,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ha = value_histogram(
+        docs.filter(F.col("doc_id") % 2 == 0), "n_chars", bucket_width=64
+    )
+    hb = value_histogram(
+        docs.filter(F.col("doc_id") % 2 == 1), "n_chars", bucket_width=64
+    )
+    return histogram_drift(ha, hb)
+
+
 def q_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate incremental exact-dedup against a Bloom membership
     catalog (Bloom 1970; k=4 hashes, 2^16 bits): the even-id
@@ -1507,6 +1531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_by_benchmark": q_contamination_by_benchmark,
     "incremental_span_dedup": q_incremental_span_dedup,
     "pipeline_capped_sample": q_pipeline_capped_sample,
+    "histogram_drift": q_histogram_drift,
     # --- long-green registry ---
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
@@ -1622,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_bloom_dedup": _o.bloom_dedup_sql(
             k_hashes=4, width_p=16, salt=""
         ),
+        "histogram_drift": _o.histogram_drift_sql(bucket_width=64),
         "length_histogram_quantiles": _o.histogram_quantiles_sql(
             bucket_width=64, min_value=0
         ),

@@ -766,3 +766,45 @@ def test_weighted_sample_merge_rejects_foreign_schema(spark):
     bad = spark.createDataFrame([(2, 7)], "doc_id bigint, weight bigint")
     with pytest.raises(ValueError, match="weighted_sample table"):
         weighted_sample_merge(good, bad, k=1)
+
+
+def test_histogram_drift_tv_distance(spark):
+    """TV drift between histogram sketches: hand-computed value,
+    identity = 0.0 exactly, disjoint supports = 1.0 exactly, empty
+    side -> NULL (no distribution to compare)."""
+    from textalyzer_spark.operators.sketch import histogram_drift
+
+    def h(rows):
+        return spark.createDataFrame(rows, "bucket bigint, cnt bigint")
+
+    a = h([(0, 1), (1, 3)])
+    b = h([(0, 2), (2, 2)])
+    row = histogram_drift(a, b).collect()[0]
+    # 0.5 * (|1/4-2/4| + |3/4-0| + |0-2/4|) = 0.75, exact in binary
+    assert (row["n_a"], row["n_b"], row["n_buckets"]) == (4, 4, 3)
+    assert row["tv_distance"] == 0.75
+    assert histogram_drift(a, a).collect()[0]["tv_distance"] == 0.0
+    assert (
+        histogram_drift(h([(0, 5)]), h([(9, 7)])).collect()[0]["tv_distance"]
+        == 1.0
+    )
+    empty = h([])
+    erow = histogram_drift(a, empty).collect()[0]
+    assert erow["n_b"] == 0 and erow["tv_distance"] is None
+
+
+def test_histogram_drift_scale_invariance(spark):
+    """Replicating one side k-fold leaves the distribution — and the
+    drift — unchanged (counts normalize out exactly via the integer
+    cross-multiplication)."""
+    from textalyzer_spark.operators.sketch import histogram_drift
+
+    def h(rows):
+        return spark.createDataFrame(rows, "bucket bigint, cnt bigint")
+
+    a = h([(0, 2), (1, 6), (5, 4)])
+    a7 = h([(0, 14), (1, 42), (5, 28)])
+    b = h([(0, 3), (2, 9)])
+    d1 = histogram_drift(a, b).collect()[0]["tv_distance"]
+    d2 = histogram_drift(a7, b).collect()[0]["tv_distance"]
+    assert d1 == d2

@@ -547,6 +547,69 @@ def histogram_merge(*tables: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def histogram_drift(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
+    """Distribution-drift report between two histogram sketches —
+    the data-quality monitor a continuous ingest runs between
+    snapshot N and snapshot N+1 (or crawl A and crawl B) WITHOUT
+    touching either corpus: one row
+    ``(n_a, n_b, n_buckets, tv_distance)`` where ``tv_distance`` is
+    the total-variation distance ``0.5 * sum_b |cnt_a/n_a -
+    cnt_b/n_b|`` over the union bucket domain (0 = identical
+    distributions, 1 = disjoint supports).
+
+    Exactness discipline: the per-bucket term is computed as the
+    INTEGER cross-multiplication ``|cnt_a*n_b - cnt_b*n_a|`` summed
+    in decimal(38,0) — no float sum (Spark's float aggregation order
+    is nondeterministic run-to-run and differs from DuckDB's), then
+    ONE double division ``tv = sum / (2*n_a*n_b)`` at the end, which
+    both engines round identically. Runs over the two histogram
+    tables only — O(value_range / bucket_width) rows, never a corpus.
+    Empty histograms yield NULL tv_distance (no distribution to
+    compare)."""
+    a = hist_a.select("bucket", F.col("cnt").alias("_ca"))
+    b = hist_b.select("bucket", F.col("cnt").alias("_cb"))
+    j = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("_ca"), F.lit(0).cast("bigint")).alias("_ca"),
+        F.coalesce(F.col("_cb"), F.lit(0).cast("bigint")).alias("_cb"),
+    )
+    dec = "decimal(20,0)"
+    tot = j.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0).cast("bigint")).alias("n_a"),
+        F.coalesce(F.sum("_cb"), F.lit(0).cast("bigint")).alias("n_b"),
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            # decimal INTEGER sum: exact and order-independent, unlike
+            # a float sum — the one division happens once, below
+            F.sum(
+                F.abs(
+                    F.col("_ca").cast(dec) * F.col("n_b").cast(dec)
+                    - F.col("_cb").cast(dec) * F.col("n_a").cast(dec)
+                )
+            ).alias("_num"),
+        )
+        .select(
+            F.coalesce("n_a", F.lit(0).cast("bigint")).alias("n_a"),
+            F.coalesce("n_b", F.lit(0).cast("bigint")).alias("n_b"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("_num").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+            ).alias("tv_distance"),
+        )
+    )
+
+
 def histogram_quantiles(
     hist: DataFrame,
     quantiles: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0),

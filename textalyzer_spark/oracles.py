@@ -2234,6 +2234,50 @@ def histogram_quantiles_sql(
     """
 
 
+def histogram_drift_sql(
+    bucket_width: int = 64,
+    min_value: int = 0,
+    a_where: str = "doc_id % 2 = 0",
+    b_where: str = "doc_id % 2 = 1",
+) -> str:
+    """Twin of ``sketch.value_histogram`` x2 + ``histogram_drift``:
+    total-variation distance between the two splits' n_chars
+    histograms via HUGEINT cross-multiplication (the engine sums the
+    same integers in decimal(20,0) — exact and order-independent in
+    both engines), one double division at the end."""
+    bexpr = (
+        f"CAST(floor(CAST(CAST(n_chars AS BIGINT) - {min_value} AS DOUBLE)"
+        f" / {float(bucket_width)!r}) AS BIGINT)"
+    )
+    return f"""
+        WITH hda AS (
+          SELECT {bexpr} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM documents WHERE ({a_where}) AND n_chars IS NOT NULL
+          GROUP BY 1
+        ), hdb AS (
+          SELECT {bexpr} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM documents WHERE ({b_where}) AND n_chars IS NOT NULL
+          GROUP BY 1
+        ), hdj AS (
+          SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+          FROM hda a FULL OUTER JOIN hdb b USING (bucket)
+        ), hdt AS (
+          SELECT coalesce(sum(ca), 0) AS na, coalesce(sum(cb), 0) AS nb,
+                 count(*) AS nbk
+          FROM hdj
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(nbk AS BIGINT) AS n_buckets,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 CAST((SELECT sum(abs(CAST(ca AS HUGEINT) * nb
+                                      - CAST(cb AS HUGEINT) * na))
+                       FROM hdj) AS DOUBLE)
+                   / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+               END AS tv_distance
+        FROM hdt
+    """
+
+
 # --------------------------------------------------------------------------
 # weighted sampling (operators/sampling.py: weighted_sample)
 # --------------------------------------------------------------------------
