@@ -1481,6 +1481,21 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(_docs(spark, sf_dir), shard_size=128)
 
 
+def q_stratified_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-preserving shuffle-and-shard: every one of the 8
+    shards receives each SOURCE in corpus proportion (per-(shard,
+    source) counts within 1 of n_source/8) via round-robin over the
+    per-stratum md5 permutation — a trainer streaming any single
+    shard sees an unbiased sample of the mixture. Per-stratum rank =
+    the two-level bucketed scan nested under the stratum; no
+    stratum-wide sort — operators/packing.py stratified_shard_plan."""
+    from textalyzer_spark.operators.packing import stratified_shard_plan
+
+    return stratified_shard_plan(
+        _docs(spark, sf_dir), n_shards=8, stratum_col="source", salt="ss1"
+    )
+
+
 def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 tf-idf keywords: smoothed idf in glibc
     micro-nats over the vocab table only, exact int64 tf*idf scores,
@@ -1532,6 +1547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_span_dedup": q_incremental_span_dedup,
     "pipeline_capped_sample": q_pipeline_capped_sample,
     "histogram_drift": q_histogram_drift,
+    "stratified_shard_plan": q_stratified_shard_plan,
     # --- long-green registry ---
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
@@ -1628,6 +1644,22 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _o.pack_sequences_sql(seq_len=512),
         "pack_chunks": _o.pack_chunks_sql(seq_len=512),
         "shard_plan": _o.shard_plan_sql(shard_size=128),
+        "stratified_shard_plan": """
+            WITH sst AS (
+              SELECT doc_id, source AS stratum,
+                     md5(concat('ss1', CAST(doc_id AS VARCHAR))) AS k
+              FROM documents
+            ), ssr AS (
+              SELECT doc_id, stratum,
+                     CAST(row_number() OVER (PARTITION BY stratum
+                                             ORDER BY k, doc_id) - 1
+                          AS BIGINT) AS stratum_pos
+              FROM sst
+            )
+            SELECT doc_id, stratum, stratum_pos,
+                   stratum_pos % 8 AS shard_id
+            FROM ssr
+        """,
         "semdedup_groups": _o.semdedup_groups_sql(threshold=0.35),
         "length_quantiles": _o.length_quantiles_sql(),
         "weighted_sample": _o.weighted_sample_sql(k=100, salt="ws1"),

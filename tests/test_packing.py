@@ -192,3 +192,53 @@ def test_shard_plan_decorrelates_ids(spark):
     out = {r["doc_id"]: r["global_pos"] for r in shard_plan(df, 32).collect()}
     adjacent = sum(1 for i in range(255) if abs(out[i] - out[i + 1]) == 1)
     assert adjacent < 32  # random expectation ~2; id-ordered would be 255
+
+
+def test_stratified_shard_plan_mixture_balance(spark):
+    """Every shard receives each stratum in proportion: per-(shard,
+    stratum) counts within 1 of n_stratum/n_shards; shards partition
+    the corpus exactly; output deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.packing import stratified_shard_plan
+
+    rows = [(i, f"src{i % 3}") for i in range(1000)] + [
+        (10_000 + i, "mega") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = stratified_shard_plan(df, n_shards=8, salt="t")
+    got = out.collect()
+    assert len(got) == 6000 and len({r["doc_id"] for r in got}) == 6000
+    per = {}
+    for r in got:
+        per[(r["shard_id"], r["stratum"])] = per.get(
+            (r["shard_id"], r["stratum"]), 0
+        ) + 1
+    strata = {"src0": 334, "src1": 333, "src2": 333, "mega": 5000}
+    for (sh, st), n in per.items():
+        lo, hi = strata[st] // 8, -(-strata[st] // 8)
+        assert lo <= n <= hi, (sh, st, n)
+    # determinism: same plan twice, identical assignment
+    again = {
+        r["doc_id"]: r["shard_id"]
+        for r in stratified_shard_plan(df, n_shards=8, salt="t").collect()
+    }
+    assert all(again[r["doc_id"]] == r["shard_id"] for r in got)
+
+
+def test_stratified_shard_plan_no_stratum_wide_sort(spark):
+    """Scale pin: every window is partitioned (no SinglePartition
+    sort anywhere — the mega-stratum spreads over its 256 hash
+    buckets; offsets run per-stratum over the bounded count table)."""
+    from textalyzer_spark.operators.packing import stratified_shard_plan
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(200)], "doc_id bigint, source string"
+    )
+    plan = (
+        stratified_shard_plan(df, n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan

@@ -217,3 +217,65 @@ def shard_plan(
         F.floor(gp / F.lit(shard_size)).cast("long").alias("shard_id"),
         (gp % F.lit(shard_size)).cast("int").alias("pos_in_shard"),
     )
+
+
+def stratified_shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Mixture-preserving shuffle-and-shard: every shard receives each
+    stratum (source, language, ...) in corpus proportion — per
+    ``(shard, stratum)`` counts differ by at most 1 from
+    ``n_stratum / n_shards``, so a trainer streaming ANY single shard
+    sees an unbiased sample of the mixture (plain :func:`shard_plan`
+    only decorrelates ids; a source whose ids cluster could still
+    concentrate early shards of a PARTIAL read). Round-robin over the
+    stratum's deterministic md5 permutation:
+    ``shard = stratum_pos % n_shards``.
+
+    Scale shape: the per-stratum rank is the same two-level scan as
+    :func:`shard_plan` nested one level down — intra-bucket windows
+    partitioned by ``(stratum, first-md5-byte)``, bucket offsets from
+    a per-stratum window over the O(n_strata x 256)-row count table
+    (partitioned by stratum: bounded rows per partition, parallel
+    across strata). No stratum-wide or corpus-wide sort anywhere; a
+    mega-stratum spreads over its 256 hash buckets.
+
+    Output: ``(doc_id, stratum, stratum_pos bigint, shard_id
+    bigint)``; the writer orders a shard's rows by
+    ``(stratum, stratum_pos)`` — deterministic, engine-identical."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        key.alias("k"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("long").alias("b"),
+    )
+    intra_w = Window.partitionBy("stratum", "b").orderBy("k", "doc_id")
+    t = t.withColumn("r", F.row_number().over(intra_w).cast("long"))
+
+    btot = t.groupBy("stratum", "b").agg(F.count("*").alias("bn"))
+    boff_w = (
+        Window.partitionBy("stratum")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "stratum",
+        "b",
+        F.coalesce(F.sum("bn").over(boff_w), F.lit(0).cast("long")).alias(
+            "boff"
+        ),
+    )
+    sp = F.col("boff") + F.col("r") - 1
+    return t.join(boff, ["stratum", "b"]).select(
+        "doc_id",
+        "stratum",
+        sp.alias("stratum_pos"),
+        (sp % F.lit(n_shards)).cast("long").alias("shard_id"),
+    )
