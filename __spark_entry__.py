@@ -1167,6 +1167,31 @@ def q_pipeline_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a PERSISTED, MERGED gram catalog:
+    the %97 benchmark set split into two 'suites' (even/odd bench
+    ids), each shingled into its own catalog, merged by set union,
+    then the train batch screened against the merge — byte-identical
+    to one-shot contamination_stats over the union benchmark (the
+    oracle computes exactly that). Benchmark suites grow over time;
+    the catalog is the state a 10^12-doc ingest keeps instead of
+    re-shingling every suite per crawl."""
+    from textalyzer_spark.operators.dedup import (
+        benchmark_gram_catalog,
+        contamination_from_catalog,
+        merge_gram_catalogs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    cat = merge_gram_catalogs(
+        benchmark_gram_catalog(bench.filter(F.col("doc_id") % 2 == 0), k=5),
+        benchmark_gram_catalog(bench.filter(F.col("doc_id") % 2 == 1), k=5),
+    )
+    return contamination_from_catalog(train, cat, k=5)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection (decontamination step):
     docs with doc_id % 97 == 0 play the held-out benchmark; every
@@ -1548,6 +1573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_capped_sample": q_pipeline_capped_sample,
     "histogram_drift": q_histogram_drift,
     "stratified_shard_plan": q_stratified_shard_plan,
+    "incremental_contamination": q_incremental_contamination,
     # --- long-green registry ---
     "bm25_topk": q_bm25_topk,
     "dsir_weights": q_dsir_weights,
@@ -2189,6 +2215,40 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens / CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE)
                      AS frac_tokens
             FROM per
+        """,
+        "incremental_contamination": f"""
+            WITH rawt AS (
+              SELECT doc_id, {_toks} AS toks FROM documents
+            ), trg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM rawt WHERE doc_id % 97 <> 0
+            ), bmg AS (
+              SELECT DISTINCT
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2] || ' ' || toks[i+3] || ' '
+                                 || toks[i+4])) AS g
+              FROM rawt WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT t.doc_id,
+                     count(*) AS n_kgrams,
+                     count(b.g) AS n_contaminated
+              FROM trg t LEFT JOIN bmg b ON b.g = t.g
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+                   CAST(coalesce(h.n_contaminated, 0) AS BIGINT)
+                     AS n_contaminated,
+                   CASE WHEN coalesce(h.n_kgrams, 0) > 0
+                        THEN h.n_contaminated / CAST(h.n_kgrams AS DOUBLE)
+                   END AS contamination_frac
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "contamination": f"""
             WITH rawt AS (

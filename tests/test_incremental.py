@@ -310,3 +310,44 @@ def test_incremental_quality_keep_prefers_cataloged_doc(spark):
     assert out[2] == (1, True)       # cataloged best survives
     assert out[1] == (1, False) and out[101] == (1, False)
     assert out[30] == (30, True) and out[130] == (130, True)
+
+
+def test_gram_catalog_merge_equals_union(spark):
+    """merge(cat(A), cat(B)) == cat(A ∪ B) exactly, and screening
+    against the merged catalog == one-shot contamination_stats over
+    the union benchmark (the growing-benchmark-suite workflow)."""
+    from textalyzer_spark.operators.dedup import (
+        benchmark_gram_catalog,
+        contamination_from_catalog,
+        contamination_stats,
+        merge_gram_catalogs,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta gamma delta epsilon")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    merged = merge_gram_catalogs(
+        benchmark_gram_catalog(a, k=3), benchmark_gram_catalog(b, k=3)
+    )
+    union_cat = benchmark_gram_catalog(a.unionByName(b), k=3)
+    assert sorted(r["shingle"] for r in merged.collect()) == sorted(
+        r["shingle"] for r in union_cat.collect()
+    )
+    train = spark.createDataFrame(
+        [(10, "beta gamma delta words here"), (11, "nothing shared at all")],
+        "doc_id bigint, text string",
+    )
+    inc = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in contamination_from_catalog(train, merged, k=3).collect()
+    }
+    one = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in contamination_stats(train, a.unionByName(b), k=3).collect()
+    }
+    assert inc == one
+    assert inc[10][1] > 0 and inc[11][1] == 0  # planted hit / clean

@@ -392,14 +392,67 @@ def contamination_stats(
     is one shingle pass + a left semi-style join + one groupBy on
     doc_id. Docs with < k tokens have no k-grams: n_kgrams=0 and a
     NULL fraction."""
-    sh = doc_shingles(df, k, id_col, text_col)
-    bsh = (
-        doc_shingles(benchmark, k, bench_id_col, bench_text_col)
+    return contamination_from_catalog(
+        df,
+        benchmark_gram_catalog(benchmark, k, bench_id_col, bench_text_col),
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def benchmark_gram_catalog(
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistable decontamination state: the benchmark corpus's
+    DISTINCT token ``k``-gram set, one ``(shingle)`` row each —
+    bounded by benchmark size (thousands of docs), never the training
+    corpus. Benchmark suites GROW over time; screen every new crawl
+    against the merged catalog instead of re-shingling every
+    benchmark ever ingested (:func:`merge_gram_catalogs`, plain
+    union-distinct: merge(cat(A), cat(B)) == cat(A ∪ B) exactly —
+    the membership analog of the sketch-family merges)."""
+    return (
+        doc_shingles(benchmark, k, id_col, text_col)
         .select("shingle")
         .distinct()
     )
+
+
+def merge_gram_catalogs(*catalogs: DataFrame) -> DataFrame:
+    """Catalog of the union benchmark suite: set union of per-suite
+    gram catalogs — exact mergeability (distinct of a union of
+    distincts)."""
+    if not catalogs:
+        raise ValueError("need at least one gram catalog")
+    out = catalogs[0]
+    for other in catalogs[1:]:
+        out = out.unionByName(other)
+    return out.distinct()
+
+
+def contamination_from_catalog(
+    df: DataFrame,
+    catalog: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`contamination_stats` against a PERSISTED gram catalog
+    (the incremental form: new crawl batch vs the merged catalog of
+    every benchmark suite ingested so far). ``k`` must equal the
+    catalog's shingle length — grams of a different length can never
+    match and everything silently reads clean."""
+    sh = doc_shingles(df, k, id_col, text_col)
     marked = sh.join(
-        F.broadcast(bsh.withColumn("_hit", F.lit(1))), "shingle", "left"
+        F.broadcast(
+            catalog.select("shingle").withColumn("_hit", F.lit(1))
+        ),
+        "shingle",
+        "left",
     )
     per_doc = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kgrams"),
