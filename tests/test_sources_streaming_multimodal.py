@@ -869,3 +869,47 @@ def test_streaming_sketch_maintenance_hist(spark, tmp_path):
     for q, v in ((0.0, 10), (0.25, 10), (0.5, 90), (0.75, 200), (1.0, 900)):
         lo, hi = report[q]
         assert lo <= v <= hi, (q, v, lo, hi)
+
+
+def test_streaming_sketch_maintenance_drift(spark, tmp_path):
+    """Drift-kind sketch maintenance: batch 0 has no prior (NULL
+    tv_distance, n_a=0); batch 1's alarm row equals the batch-path
+    histogram_drift(hist(batch0), hist(batch1)); the committed
+    snapshot is still the union histogram."""
+    from textalyzer_spark.operators import sketch as sk
+    from textalyzer_spark.streaming.jobs import streaming_sketch_maintenance
+
+    b0 = [(1, "x" * 10), (2, "y" * 20), (3, "q" * 30)]
+    b1 = [(10, "z" * 500), (11, "w" * 900)]  # shifted distribution
+    inp = str(tmp_path / "in")
+    cat = str(tmp_path / "cat")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    for batch in (b0, b1):
+        spark.createDataFrame(batch, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(inp)
+        streaming_sketch_maintenance(
+            spark, inp, cat, out, ckpt, kind="drift", hist_width=64
+        )
+    r0 = spark.read.parquet(f"{out}/batch=0").collect()[0]
+    assert (r0["n_a"], r0["n_b"]) == (0, 3) and r0["tv_distance"] is None
+    r1 = spark.read.parquet(f"{out}/batch=1").collect()[0]
+
+    def hist(rows):
+        return sk.value_histogram(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+            .selectExpr("length(text) AS _len"),
+            "_len",
+            bucket_width=64,
+        )
+
+    want = sk.histogram_drift(hist(b0), hist(b1)).collect()[0]
+    assert tuple(r1) == tuple(want)
+    assert r1["tv_distance"] == 1.0  # disjoint length supports
+    union_hist = {
+        tuple(r)
+        for r in sk.histogram_merge(hist(b0), hist(b1)).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(f"{cat}/snapshot=2").collect()}
+    assert got == union_hist

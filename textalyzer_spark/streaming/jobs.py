@@ -609,13 +609,18 @@ def streaming_sketch_maintenance(
     (point lookups read the committed snapshot via
     ``sketch.cms_lookup``); ``kind='hist'`` -> the running
     length-quantile report (``sketch.histogram_quantiles`` over the
-    merged width-``hist_width`` histogram of ``length(text)``) — the
-    streaming drift monitor."""
+    merged width-``hist_width`` histogram of ``length(text)``);
+    ``kind='drift'`` -> the per-batch DRIFT ALARM: the
+    total-variation distance (``sketch.histogram_drift``) between the
+    catalog-so-far's length distribution and THIS batch's — the row a
+    pipeline pages on when a crawl's content shifts (first batch has
+    no prior: NULL tv_distance), with the merged histogram committed
+    as the next snapshot exactly like 'hist'."""
     from textalyzer_spark.functions.alphabet import WS_SPLIT
     from textalyzer_spark.operators import incremental as inc
     from textalyzer_spark.operators import sketch as sk
 
-    if kind not in ("hll", "cms", "hist"):
+    if kind not in ("hll", "cms", "hist", "drift"):
         raise ValueError(f"unknown sketch kind {kind!r}")
     stream = _stream(spark, input_dir, schema=schema)
 
@@ -654,6 +659,21 @@ def streaming_sketch_maintenance(
             )
             merged = sk.histogram_merge(cat, batch_sk).localCheckpoint()
             out = sk.histogram_quantiles(merged, bucket_width=hist_width)
+        elif kind == "drift":
+            # drift report + snapshot merge are two ACTIONS over the
+            # batch histogram — the derived-corpus barrier rule
+            batch_sk = sk.value_histogram(
+                batch_df.select(F.length("text").alias("_len")),
+                "_len",
+                bucket_width=hist_width,
+            ).localCheckpoint()
+            cat = (
+                sp.read.parquet(f"{catalog_dir}/snapshot={prev}")
+                if prev
+                else sp.createDataFrame([], "bucket bigint, cnt bigint")
+            )
+            out = sk.histogram_drift(cat, batch_sk)
+            merged = sk.histogram_merge(cat, batch_sk)
         else:
             batch_sk = sk.cms_table(
                 toks, "tok", depth=depth, width_p=width_p, salt=salt
