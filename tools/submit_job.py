@@ -36,7 +36,8 @@ def main(argv: list[str] | None = None) -> None:
         default="tokenize_metrics",
         choices=["tokenize_metrics", "near_dedup", "pii_redact",
                  "exact_dedup", "repetition_stats", "pipeline_clean",
-                 "incremental_near_dedup", "corpus_stats"],
+                 "incremental_near_dedup", "corpus_stats",
+                 "shard_write", "drift_monitor"],
         help="tokenize_metrics runs the lineage-checkpointed span "
         "pipeline; the others are flat-table batch analyses whose "
         "output lands as parquet under --output",
@@ -48,6 +49,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument("--quality-min", type=float, default=0.7)
     p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument(
+        "--n-shards",
+        type=int,
+        default=64,
+        help="shard_write: number of mixture-preserving output shards",
+    )
+    p.add_argument(
+        "--stratum-col",
+        default="source",
+        help="shard_write: column every shard must receive in corpus "
+        "proportion",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -130,6 +143,60 @@ def main(argv: list[str] | None = None) -> None:
                 )
                 out = labels
             snap = inc.write_catalog_snapshot(nxt, args.catalog)
+            print(json.dumps({"catalog_snapshot": snap}))
+        elif args.analysis == "shard_write":
+            # mixture-preserving training layout: assign every doc a
+            # (shard_id, stratum, stratum_pos) via the per-stratum md5
+            # round-robin and WRITE the corpus partitioned by shard —
+            # a trainer streaming any single shard directory sees the
+            # corpus mixture. The parquet writer clusters each shard's
+            # rows; repartition on shard_id keeps one writer task per
+            # shard file set.
+            from textalyzer_spark.operators.packing import (
+                stratified_shard_plan,
+            )
+
+            plan = stratified_shard_plan(
+                docs,
+                n_shards=args.n_shards,
+                stratum_col=args.stratum_col,
+                salt="shardw",
+            )
+            out = (
+                docs.join(plan.select("doc_id", "stratum_pos", "shard_id"),
+                          "doc_id")
+                .repartition("shard_id")
+            )
+            out.write.mode("overwrite").partitionBy("shard_id").parquet(
+                args.output
+            )
+            print(json.dumps({"analysis": "shard_write",
+                              "n_shards": args.n_shards}))
+            return
+        elif args.analysis == "drift_monitor":
+            # batch CLI twin of streaming kind='drift': TV distance of
+            # THIS batch's length distribution vs the catalog-so-far,
+            # then commit the merged histogram snapshot
+            if not args.catalog:
+                raise SystemExit("--catalog required for drift_monitor")
+            from pyspark.sql import functions as F
+
+            from textalyzer_spark.operators import incremental as inc
+            from textalyzer_spark.operators import sketch as sk
+
+            batch_hist = sk.value_histogram(
+                docs.select(F.length("text").alias("_len")),
+                "_len",
+                bucket_width=64,
+            ).localCheckpoint()  # drift + merge = two actions
+            try:
+                cat = inc.read_catalog(spark, args.catalog)
+            except FileNotFoundError:
+                cat = spark.createDataFrame([], "bucket bigint, cnt bigint")
+            out = sk.histogram_drift(cat, batch_hist)
+            snap = inc.write_catalog_snapshot(
+                sk.histogram_merge(cat, batch_hist), args.catalog
+            )
             print(json.dumps({"catalog_snapshot": snap}))
         elif args.analysis == "corpus_stats":
             # mergeable sketch-catalog maintenance: fold this batch's
