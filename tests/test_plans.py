@@ -382,3 +382,31 @@ def test_semdedup_block_join_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_plans_no_single_partition_no_python(spark):
+    """Scale pins for the span-dedup family: pure JVM (no python
+    stage) and no corpus-wide SinglePartition anywhere — spans build
+    in per-doc windows, the first-occurrence pick is a min(struct)
+    HASH agg (partial+final, so a boilerplate span in millions of
+    docs combines map-side), and the incremental path adds only a
+    hash join against the catalog."""
+    from textalyzer_spark.operators.span_dedup import (
+        incremental_span_dedup,
+        span_catalog,
+        span_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a\nb\nc\nd") for i in range(50)], "doc_id bigint, text string"
+    )
+    cat = span_catalog(docs.filter("doc_id < 25"), n=3)
+    for df in (
+        span_dedup(docs, n=3),
+        incremental_span_dedup(docs.filter("doc_id >= 25"), cat, n=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
