@@ -43,26 +43,28 @@ def connected_components(
       string-doc_id hole a row count alone leaves open, the same
       rows-vs-bytes lesson as ``cosine_topk``'s budget): collect the
       edges once, union-find with path compression on the driver,
-      broadcast the labels back as a DataFrame. One job.
+      broadcast the labels back as a DataFrame. One job. Union-find
+      needs neither symmetric nor both-ways-deduplicated edges, so
+      this path works on the DIRECTED distinct edge table — half the
+      shuffle, checkpoint and collect traffic of a symmetrized one
+      (the caps now count directed rows/bytes).
     * larger graphs: min-label propagation (driver loop of ~
-      log(diameter) join+agg rounds, lineage cut per round). If the
-      propagation has NOT converged after ``max_iters`` rounds the
-      labels would be silently non-minimal for long-chain components,
-      so it RAISES instead (retry with a higher ``max_iters``; near-
-      dup graphs are shallow, the default never trips on them)."""
+      log(diameter) join+agg rounds, lineage cut per round) — the
+      only path that needs the symmetrized edge table, built here
+      only when taken. If the propagation has NOT converged after
+      ``max_iters`` rounds the labels would be silently non-minimal
+      for long-chain components, so it RAISES instead (retry with a
+      higher ``max_iters``; near-dup graphs are shallow, the default
+      never trips on them)."""
     edges = (
         edges.select(F.col("src"), F.col("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
     # every strategy below fires >= 1 action: without materializing
     # first, the full upstream pair pipeline re-executes per action
     # (measured: minutes instead of seconds at sf0.1)
     edges = edges.localCheckpoint()
-    docs = docs.localCheckpoint()
 
     id_is_string = dict(edges.dtypes)["src"] == "string"
     if id_is_string:
@@ -107,6 +109,8 @@ def connected_components(
         id_type = id_field.dataType.simpleString()
         out_schema = f"doc_id {id_type}, component {id_type}"
         touched = spark.createDataFrame(touched_rows, out_schema)
+        # docs is consumed exactly once (this join) and the caller's
+        # action executes it once — no checkpoint needed on this path
         return (
             docs.join(F.broadcast(touched), "doc_id", "left")
             .select(
@@ -117,6 +121,14 @@ def connected_components(
             )
         )
 
+    # distributed fallback: min-label propagation needs SYMMETRIC
+    # edges (labels flow src -> dst only) and docs is re-consumed
+    # every round — symmetrize + materialize both here, where the
+    # cost is actually paid for something
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    docs = docs.localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     changed = 1
     for _ in range(max_iters):
