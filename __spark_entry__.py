@@ -472,10 +472,12 @@ def _ws_tokens(df: DataFrame) -> DataFrame:
     the one pinned cross-engine class) as a single ``tok`` column."""
     from textalyzer_spark.functions.alphabet import WS_SPLIT
 
-    return df.select(
-        F.explode(
-            F.filter(F.split(F.col("text"), WS_SPLIT), lambda t: t != "")
-        ).alias("tok")
+    # explode first, filter after: identical rows, but the row-level
+    # predicate stays inside whole-stage codegen where the array-HOF
+    # F.filter evaluates interpreted (BENCH.md no-interpreted-HOF rule)
+    return (
+        df.select(F.explode(F.split(F.col("text"), WS_SPLIT)).alias("tok"))
+        .filter(F.col("tok") != "")
     )
 
 

@@ -48,6 +48,22 @@ def test_winnow_shared_substring_guarantee(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [("a", "b")]
 
 
+def test_winnow_fingerprints_distinct(spark):
+    """winnow_near_dup_pairs dropped its .distinct() in round 8 on
+    the strength of this property: the kernel's np.unique makes
+    (doc_id, fingerprint) rows globally distinct already — a repeated
+    minimum inside one document must never yield duplicate rows."""
+    df = spark.createDataFrame(
+        # heavy internal repetition -> many windows share one minimum
+        [("a", "abcabcabcabcabcabcabcabcabcabc"),
+         ("b", "xyzxyzxyzxyzxyzxyzxyzxyzxyzxyz")],
+        "doc_id string, text string",
+    )
+    rows = [(r["doc_id"], r["fingerprint"])
+            for r in winnow_fingerprints(df).collect()]
+    assert len(rows) == len(set(rows)) > 0
+
+
 def test_winnow_short_doc_empty(spark):
     df = spark.createDataFrame([("tiny", "abc")], "doc_id string, text string")
     assert winnow_fingerprints(df).count() == 0

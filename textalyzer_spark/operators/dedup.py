@@ -311,8 +311,12 @@ def minhash_lsh_pairs(
     # would kill anyway)
     buckets = _band_buckets(sigs, bands, rows)
     # the band-bucket table feeds the mega-bucket guard AND both join
-    # sides; without materialization each consumer re-runs the python
-    # minhash signature stage over the whole corpus
+    # sides; without materialization each consumer re-runs the
+    # signature aggregation + band explode (A/B'd again in round 8
+    # after the JVM-signature rewrite: dropping this checkpoint and
+    # relying on ReusedExchange measured 2.2 -> ~5 s on minhash_lsh
+    # at sf0.1 — the broadcast-join plan shape at this scale gives
+    # Catalyst no identical Exchange pair to reuse)
     buckets = buckets.localCheckpoint()
     if max_bucket_docs is not None:
         ok = (

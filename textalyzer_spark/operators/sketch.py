@@ -226,13 +226,28 @@ def cms_table(
     caller that already holds per-value counts skip a second pass
     over the raw stream (:func:`cms_token_report` does)."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
+    if weight_col is None:
+        # raw-stream path: aggregate to the (value, count) histogram
+        # FIRST, then sketch it weighted — exactly equal to sketching
+        # the stream (the weighted-sum-over-support identity above),
+        # but the ``depth`` salted md5s run once per DISTINCT value
+        # instead of once per occurrence. The histogram groupBy adds
+        # one exchange whose map-side combine collapses the (Zipfian)
+        # occurrence stream to per-partition support — the
+        # aggregate-before-you-shuffle trade; A/B'd at sf0.1: the
+        # same rewrite took cms_token_report 5.5 -> 1.03 s, and
+        # incremental_cms_tokens 2.6 -> ~1.2 s.
+        hist = (
+            df.select(c.alias("_cms_v"))
+            .groupBy("_cms_v")
+            .agg(F.count(F.lit(1)).alias("_cms_n"))
+        )
+        return cms_table(
+            hist, "_cms_v", depth, width_p, salt, weight_col="_cms_n"
+        )
     w = (
-        F.lit(1).cast("bigint")
-        if weight_col is None
-        else (
-            F.col(weight_col) if isinstance(weight_col, str) else weight_col
-        ).cast("bigint")
-    )
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("bigint")
     pairs = F.explode(
         F.array(
             *[

@@ -210,7 +210,12 @@ def winnow_near_dup_pairs(
     winnowing practice; without it the sf0.1 corpus's self-join ran
     minutes instead of seconds). Sizes are computed before the drop,
     so ``overlap`` stays a true fraction of each document."""
-    fp = winnow_fingerprints(df, k, window, id_col, text_col).distinct()
+    # NO .distinct() here: the fingerprint kernel emits np.unique
+    # minima per document, so (doc_id, fingerprint) rows are already
+    # globally distinct — a distinct pass would re-shuffle the whole
+    # fingerprint table for nothing (round-8 A/B; pinned by
+    # tests/test_tokens.py::test_winnow_fingerprints_distinct)
+    fp = winnow_fingerprints(df, k, window, id_col, text_col)
     # the fingerprint branch fans out to FIVE consumers (sizes, the
     # doc-freq cap, both self-join sides); without materialization
     # each consumer re-runs the O(n)-python rolling-hash stage —
