@@ -33,6 +33,20 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 
+def _generate_barrier(df: DataFrame, keep: list, struct: Column) -> DataFrame:
+    """Evaluate ``struct`` EXACTLY ONCE per row behind a Generate node
+    (``explode(array(struct))`` of a 1-element array — row count
+    unchanged, stays in whole-stage codegen): CollapseProject re-inlines
+    a projected expression into every downstream reference, and the
+    interpreted higher-order functions in this module get no
+    common-subexpression elimination, so an unprotected score column
+    re-pays its whole token pass per reference (a composed
+    stratified_sample measured 2.1 s vs 1.0 s at sf0.1 — round-8 A/B).
+    A Generate is a projection-collapse boundary, so consumers read
+    plain struct fields instead."""
+    return df.select(*keep, F.explode(F.array(struct)).alias("_x"))
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc token statistics:
     ``(doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
@@ -51,26 +65,48 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     stop = F.size(
         F.filter("toks", lambda w: w.isin(*ENGLISH_STOPWORDS))
     ).cast("double")
-    return out.select(
-        "doc_id",
-        "n_chars",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
-        F.when(
-            F.size("toks") > 0,
-            F.round(
-                F.aggregate(
-                    "toks", F.lit(0), lambda acc, w: acc + F.length(w)
-                ).cast("double")
-                / n,
-                4,
+    # ONE barrier at the operator's edge: standalone token_stats was
+    # already fine (a single Project evaluates the toks chain a few
+    # times, measured ~equal), but consumers — quality_score's score
+    # expression, pipeline quality filters — re-inline these columns
+    # many times over without it (a double barrier that also
+    # materialized the token array measured slightly SLOWER — A/B'd)
+    stats = _generate_barrier(
+        out,
+        ["doc_id"],
+        F.struct(
+            F.col("n_chars").alias("n_chars"),
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+            F.when(
+                F.size("toks") > 0,
+                F.round(
+                    F.aggregate(
+                        "toks", F.lit(0), lambda acc, w: acc + F.length(w)
+                    ).cast("double")
+                    / n,
+                    4,
+                ),
+            ).alias("avg_token_len"),
+            F.when(F.size("toks") > 0, F.round(stop / n, 4)).alias(
+                "stopword_ratio"
             ),
-        ).alias("avg_token_len"),
-        F.when(F.size("toks") > 0, F.round(stop / n, 4)).alias("stopword_ratio"),
-        F.when(
-            F.col("n_chars") > 0,
-            F.round(F.col("n_alpha_chars") / F.col("n_chars").cast("double"), 4),
-        ).alias("alpha_ratio"),
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(
+                    F.col("n_alpha_chars") / F.col("n_chars").cast("double"), 4
+                ),
+            ).alias("alpha_ratio"),
+        ),
+    )
+    return stats.select(
+        "doc_id",
+        F.col("_x.n_chars").alias("n_chars"),
+        F.col("_x.n_tokens").alias("n_tokens"),
+        F.col("_x.n_distinct_tokens").alias("n_distinct_tokens"),
+        F.col("_x.avg_token_len").alias("avg_token_len"),
+        F.col("_x.stopword_ratio").alias("stopword_ratio"),
+        F.col("_x.alpha_ratio").alias("alpha_ratio"),
     )
 
 
@@ -127,14 +163,20 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """
     toks = tokens_col(text_col)
     langs = sorted(LANG_MARKERS)
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[_lang_score(toks, lg).alias(f"s_{lg}") for lg in langs],
+    # Generate barrier (_generate_barrier rationale): the five score
+    # expressions would otherwise re-inline into every downstream
+    # reference — pred's CASE chain alone references them ~15x, and a
+    # composed consumer (stratified_sample's filter) doubles that
+    out = _generate_barrier(
+        df,
+        [F.col(id_col).alias("doc_id")],
+        F.struct(*[_lang_score(toks, lg).alias(f"s_{lg}") for lg in langs]),
     )
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    s = {lg: F.col(f"_x.s_{lg}") for lg in langs}
+    best = F.greatest(*[s[lg] for lg in langs])
     pred = F.when(best == 0, F.lit("unk"))
     for lg in langs:
-        pred = pred.when(F.col(f"s_{lg}") == best, F.lit(lg))
+        pred = pred.when(s[lg] == best, F.lit(lg))
     return out.select(
         "doc_id",
         pred.alias("pred_lang"),
