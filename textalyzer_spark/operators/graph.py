@@ -61,27 +61,22 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    # every strategy below fires >= 1 action: without materializing
-    # first, the full upstream pair pipeline re-executes per action
-    # (measured: minutes instead of seconds at sf0.1)
-    edges = edges.localCheckpoint()
 
+    # Probe-by-collect: ONE bounded action (limit cap+1) replaces the
+    # round-7 checkpoint + count + collect triple — the pair pipeline
+    # executes exactly once either way, but two scheduled jobs and an
+    # RDD materialization disappear, and an over-cap graph can stop at
+    # the limit instead of materializing everything first. The byte
+    # cap for string ids is checked driver-side on the collected rows
+    # (bounded by cap+1 rows, the memory the cap already budgets for).
     id_is_string = dict(edges.dtypes)["src"] == "string"
+    probe = edges.limit(driver_max_edges + 1).collect()
+    n_edges = len(probe)
     if id_is_string:
-        # one action measures BOTH caps: row count and the actual
-        # payload bytes a collect would ship to the driver
-        stats = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(
-                    F.octet_length("src") + F.octet_length("dst")
-                ),
-                F.lit(0),
-            ).alias("nbytes"),
-        ).collect()[0]
-        n_edges, edge_bytes = stats["n"], stats["nbytes"]
+        edge_bytes = sum(
+            len(r["src"].encode()) + len(r["dst"].encode()) for r in probe
+        )
     else:
-        n_edges = edges.count()
         edge_bytes = n_edges * 16  # two fixed-width ids
     if n_edges <= driver_max_edges and edge_bytes <= driver_max_edge_bytes:
         # the driver materializes ONLY edge-touched nodes (bounded by
@@ -99,7 +94,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
+        for r in probe:
             ra, rb = find(r["src"]), find(r["dst"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -122,9 +117,11 @@ def connected_components(
         )
 
     # distributed fallback: min-label propagation needs SYMMETRIC
-    # edges (labels flow src -> dst only) and docs is re-consumed
-    # every round — symmetrize + materialize both here, where the
-    # cost is actually paid for something
+    # edges (labels flow src -> dst only), a MATERIALIZED edge table
+    # (it is re-joined every round), and a materialized docs —
+    # built here, where the cost is actually paid for something
+    del probe
+    edges = edges.localCheckpoint()
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
