@@ -571,10 +571,12 @@ def incremental_embedding_components(
     operator — with vectors attached afterward for the exact-cosine
     verify (same ``_score_pairs`` rounding as every similarity
     path)."""
+    from pyspark.sql.window import Window as _W
+
     from textalyzer_spark.operators.graph import connected_components
     from textalyzer_spark.operators.similarity import (
+        _block_pairs_kernel,
         _hyperplane_buckets,
-        _score_pairs,
         embedding_near_dup_pairs_lsh,
     )
 
@@ -590,12 +592,8 @@ def incremental_embedding_components(
     new_v = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    ob = _hyperplane_buckets(
-        cat_v, "vec_id", dim, n_bits, n_tables, seed
-    ).select("table", "bucket", F.col("vec_id").alias("vec_a"))
-    nb = _hyperplane_buckets(
-        new_v, "vec_id", dim, n_bits, n_tables, seed
-    ).select("table", "bucket", F.col("vec_id").alias("vec_b"))
+    ob = _hyperplane_buckets(cat_v, "vec_id", dim, n_bits, n_tables, seed)
+    nb = _hyperplane_buckets(new_v, "vec_id", dim, n_bits, n_tables, seed)
     if max_bucket_docs is not None:
         ok = (
             ob.select("table", "bucket")
@@ -607,23 +605,45 @@ def incremental_embedding_components(
         )
         ob = ob.join(ok, ["table", "bucket"])
         nb = nb.join(ok, ["table", "bucket"])
-    pair_ids = (
-        ob.join(nb, ["table", "bucket"])
-        .select("vec_a", "vec_b")
+
+    # blocked cross-side verify (the embedding_near_dup_pairs_lsh
+    # round-8 rewrite applied between two tables): catalog and batch
+    # vectors cross the Arrow boundary once per (table, block-pair)
+    # instead of once per candidate pair; constant bx=0 / by=1 keeps
+    # the kernel off its diagonal-dedup path (the sides are disjoint
+    # id sets). Edge orientation is irrelevant to the union-find.
+    def _blocks(side: DataFrame, tag: str, flag: int) -> DataFrame:
+        nblk = F.ceil(
+            F.count(F.lit(1)).over(_W.partitionBy("table", "bucket"))
+            / F.lit(1024)
+        ).cast("long")
+        t = side.withColumn("_nb", nblk).withColumn(
+            "_blk",
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.col("_nb"))
+            .cast("int"),
+        )
+        return t.groupBy("table", "bucket", "_blk").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("vid"),
+                    F.col("_vec_vec_id").alias("vec"),
+                )
+            ).alias(f"i{tag}")
+        ).select(
+            "table", "bucket", F.lit(flag).alias(f"b{tag}"), f"i{tag}"
+        )
+
+    id_type = dict(new_vectors.dtypes)[id_col]
+    cross = (
+        _blocks(ob, "x", 0)
+        .join(_blocks(nb, "y", 1), ["table", "bucket"])
+        .mapInPandas(
+            _block_pairs_kernel(threshold),
+            f"vec_a {id_type}, vec_b {id_type}, cosine double",
+        )
         .dropDuplicates(["vec_a", "vec_b"])
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )
-    vv_a = cat_v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    )
-    vv_b = new_v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    )
-    cross = _score_pairs(
-        pair_ids.join(vv_a, "vec_a").join(vv_b, "vec_b"),
-        "vec_a", "vec_b", "va", "vb", threshold=threshold,
-    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
 
     docs = (
         catalog.select(F.col("vec_id").alias("doc_id"))
