@@ -19,10 +19,13 @@ partitions are doc-sized); the first-occurrence pick is a
 a SortAggregate, but the PARTIAL map-side combine still applies, so a
 boilerplate span occurring in millions of documents reduces to one
 row per map partition before the shuffle) — NOT a ``row_number``
-window, which would single-reducer sort that mega-key. Removal
-explode + ``distinct`` and the rebuild ``groupBy(doc_id)`` are linear
-hash shuffles on bounded keys. Nothing is quadratic; no driver
-materialization.
+window, which would single-reducer sort that mega-key. The rebuild
+never shuffles the corpus: only the removed ``(doc_id, line_number)``
+pairs aggregate (one hash shuffle bounded by removals) and join back
+onto the documents, which rebuild in place from their own split-lines
+arrays (round 8; the previous corpus-wide line anti-join +
+``collect_list`` re-assembly shuffled every line twice). Nothing is
+quadratic; no driver materialization.
 
 The incremental family (:func:`span_catalog` /
 :func:`incremental_span_dedup` / :func:`updated_span_catalog`) is the
@@ -71,47 +74,65 @@ def _lines_and_spans(
 
 def _rebuild(
     df: DataFrame,
-    lines: DataFrame,
     removed_spans: DataFrame,
     n: int,
     id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """Shared back half: expand removed span starts to line numbers,
-    anti-join, rebuild each document from surviving lines in order."""
-    removed_lines = removed_spans.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
-        ).alias("line_number"),
-    ).distinct()
-    kept = lines.join(removed_lines, [id_col, "line_number"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_number", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    nrem = removed_lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines_removed")
-    )
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .join(nrem, id_col, "left")
-        .select(
+    """Shared back half: expand removed span starts to per-document
+    removed line-number SETS and rebuild each document in place with
+    an indexed array filter.
+
+    Round-8 shape (guide §8 "decide with small rows, move big rows
+    once" — here the big rows never move at all): the previous form
+    anti-joined the corpus-wide line table against the removed lines
+    and re-assembled every document through a groupBy/collect_list —
+    two shuffles of EVERY line in the corpus. Only the removed
+    (id, line_number) pairs carry any information, so now just they
+    are aggregated (one shuffle over removed lines only) and joined
+    onto the documents; each doc rebuilds from its own split-lines
+    array without leaving its scan partition. Output values are
+    identical (pinned by the span_dedup/incremental_span_dedup gates
+    and the pytest suite)."""
+    from textalyzer_spark.operators.lines import split_lines
+
+    removed_sets = (
+        removed_spans.select(
             id_col,
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.coalesce(F.col("n_lines_kept"), F.lit(0))
-            .cast("bigint")
-            .alias("n_lines_kept"),
-            F.coalesce(F.col("n_lines_removed"), F.lit(0))
-            .cast("bigint")
-            .alias("n_lines_removed"),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("line_number"),
         )
+        .groupBy(id_col)
+        .agg(F.collect_set("line_number").alias("_rm"))
+    )
+    arr = split_lines(text_col)
+    base = df.select(F.col(id_col), arr.alias("_lines")).join(
+        removed_sets, id_col, "left"
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        "_lines",
+        lambda line, i: ~F.array_contains(rm, (i + F.lit(1)).cast("int")),
+    )
+    # Generate barrier (quality._generate_barrier rationale): the kept
+    # array feeds both the concat and the count — evaluate the indexed
+    # filter once per row, not per reference
+    out = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    kept.alias("k"), F.size(rm).cast("bigint").alias("nrm")
+                )
+            )
+        ).alias("_x"),
+    )
+    return out.select(
+        id_col,
+        F.concat_ws("\n", F.col("_x.k")).alias("text"),
+        F.size(F.col("_x.k")).cast("bigint").alias("n_lines_kept"),
+        F.col("_x.nrm").alias("n_lines_removed"),
     )
 
 
@@ -130,7 +151,7 @@ def span_dedup(
     line was removed or the document had none). Documents shorter
     than ``n`` lines form no spans and pass through untouched.
     """
-    lines, spans = _lines_and_spans(df, n, id_col, text_col)
+    _, spans = _lines_and_spans(df, n, id_col, text_col)
     firsts = spans.groupBy("h").agg(
         F.min(F.struct(F.col(id_col), F.col("start"))).alias("first"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -146,7 +167,7 @@ def span_dedup(
         )
         .select(id_col, "start")
     )
-    return _rebuild(df, lines, removed_spans, n, id_col)
+    return _rebuild(df, removed_spans, n, id_col, text_col)
 
 
 # --------------------------------------------------------------------------
@@ -198,7 +219,7 @@ def incremental_span_dedup(
     ``h`` against the batch's spans — proportional to the batch, never
     the catalog.
     """
-    lines, spans = _lines_and_spans(new_df, n, id_col, text_col)
+    _, spans = _lines_and_spans(new_df, n, id_col, text_col)
     firsts = spans.groupBy("h").agg(
         F.min(F.struct(F.col(id_col), F.col("start"))).alias("first"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -221,7 +242,7 @@ def incremental_span_dedup(
             )
         )
     ).select(id_col, "start")
-    return _rebuild(new_df, lines, removed_spans, n, id_col)
+    return _rebuild(new_df, removed_spans, n, id_col, text_col)
 
 
 def updated_span_catalog(
