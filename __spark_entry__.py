@@ -36,7 +36,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -900,13 +900,12 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus mixture report (doc + token mass shares,
     unrounded count ratios) — what stratified_sample's rates are
     tuned against."""
-    from textalyzer_spark.operators.quality import lang_id
+    from textalyzer_spark.operators.quality import with_lang_id
     from textalyzer_spark.operators.sampling import corpus_mixture
 
-    docs = _docs(spark, sf_dir)
-    lang = lang_id(docs).select("doc_id", "pred_lang")
-    joined = docs.join(lang, "doc_id")
-    return corpus_mixture(joined, "pred_lang")
+    # join-free language column (round 8): docs ⋈ lang_id(docs) was an
+    # identity self-join — pred_lang is a per-row projection
+    return corpus_mixture(with_lang_id(_docs(spark, sf_dir)), "pred_lang")
 
 
 def _mixture_planned_sample_sql(toks_expr: str) -> str:
@@ -957,7 +956,7 @@ def q_mixture_planned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the float boundary decisions are bit-exact. Collects one
     row per stratum (languages — never corpus-sized) to run the pure
     solver on the driver."""
-    from textalyzer_spark.operators.quality import lang_id
+    from textalyzer_spark.operators.quality import with_lang_id
     from textalyzer_spark.operators.sampling import (
         corpus_mixture,
         solve_rates_from_mixture_report,
@@ -965,8 +964,10 @@ def q_mixture_planned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    lang = lang_id(docs).select("doc_id", "pred_lang")
-    joined = docs.join(lang, "doc_id")
+    # join-free language column (q_corpus_mixture rationale) — both
+    # the mixture collect and the sampling action evaluate one
+    # projection instead of docs ⋈ lang_id(docs) each
+    joined = with_lang_id(docs)
     rates = solve_rates_from_mixture_report(
         corpus_mixture(joined, "pred_lang"), MIX_TARGET, mass_col="n_tokens"
     )
@@ -1013,25 +1014,37 @@ def q_pipeline_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery. The chain adds no new shuffle beyond its stages."""
     from textalyzer_spark.operators.near_dedup import near_dedup
     from textalyzer_spark.operators.pii import redact_pii, synthesize_pii
-    from textalyzer_spark.operators.quality import lang_id, quality_score
+    from textalyzer_spark.operators.quality import (
+        with_lang_id,
+        with_quality_score,
+    )
     from textalyzer_spark.operators.sampling import stratified_sample
 
     pdoc = synthesize_pii(_docs(spark, sf_dir))
-    qkeep = (
-        quality_score(pdoc)
+    # join-free quality gate (round 8): the previous
+    # pdoc ⋈ quality_score(pdoc).filter(...).select(doc_id) evaluated
+    # the synthesized corpus twice and paid a self-join for what is a
+    # per-row filter — identical keep set by construction
+    gated = (
+        with_quality_score(pdoc)
         .filter(F.col("quality_score") >= PIPELINE_QMIN)
-        .select("doc_id")
+        .drop("quality_score")
     )
-    gated = pdoc.join(qkeep, "doc_id")
     clean = redact_pii(gated).select(
         "doc_id", F.col("clean_text").alias("text")
     )
-    keep_exact = (
-        clean.groupBy(F.md5("text").alias("_fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup as a window filter (round 8): keep rows whose
+    # doc_id is the minimum over their md5 fingerprint — identical
+    # keep set to the old groupBy+self-join, but the upstream narrow
+    # chain (scan -> synthesize -> quality Generate -> redact) is
+    # consumed ONCE instead of once per consumer (A/B: stage-1
+    # checkpoint 1.72-1.83 -> 1.46-1.51 s at sf0.1)
+    _wfp = Window.partitionBy(F.md5("text"))
+    deduped = (
+        clean.withColumn("_min", F.min("doc_id").over(_wfp))
+        .filter(F.col("doc_id") == F.col("_min"))
+        .drop("_min")
     )
-    deduped = clean.join(keep_exact, "doc_id")
     # multi-ACTION pipeline: near_dedup fires edge/doc actions and
     # the final select re-joins deduped — without the barrier the
     # quality+redact+dedup chain re-executes per action (A/B at
@@ -1042,9 +1055,9 @@ def q_pipeline_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.1,
     )
     kept = deduped.join(nd.filter("keep").select("doc_id"), "doc_id")
-    lang = lang_id(kept).select("doc_id", "pred_lang")
+    # join-free language column (same rationale as the quality gate)
     samp = stratified_sample(
-        kept.join(lang, "doc_id"), "pred_lang", MIX_RATES,
+        with_lang_id(kept), "pred_lang", MIX_RATES,
         MIX_DEFAULT_RATE, salt=MIX_SALT,
     )
     return samp.select(
@@ -1063,32 +1076,39 @@ def q_pipeline_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from textalyzer_spark.operators.dedup import contamination_stats
     from textalyzer_spark.operators.near_dedup import near_dedup
     from textalyzer_spark.operators.pii import redact_pii, synthesize_pii
-    from textalyzer_spark.operators.quality import lang_id, quality_score
+    from textalyzer_spark.operators.quality import (
+        with_lang_id,
+        with_quality_score,
+    )
     from textalyzer_spark.operators.sampling import stratified_sample
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     pdoc = synthesize_pii(docs.filter(F.col("doc_id") % 97 != 0))
-    qkeep = (
-        quality_score(pdoc)
+    # join-free quality gate (q_pipeline_clean_sample rationale)
+    clean = redact_pii(
+        with_quality_score(pdoc)
         .filter(F.col("quality_score") >= PIPELINE_QMIN)
-        .select("doc_id")
-    )
-    clean = redact_pii(pdoc.join(qkeep, "doc_id")).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
+        .drop("quality_score")
+    ).select("doc_id", F.col("clean_text").alias("text"))
     decont = clean.join(
         contamination_stats(clean, bench, k=5)
         .filter(F.col("n_contaminated") == 0)
         .select("doc_id"),
         "doc_id",
     )
-    keep_exact = (
-        decont.groupBy(F.md5("text").alias("_fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup as a window filter (round 8): keep rows whose
+    # doc_id is the minimum over their md5 fingerprint — identical
+    # keep set to the old groupBy+self-join, but the upstream narrow
+    # chain (scan -> synthesize -> quality Generate -> redact) is
+    # consumed ONCE instead of once per consumer (A/B: stage-1
+    # checkpoint 1.72-1.83 -> 1.46-1.51 s at sf0.1)
+    _wfp = Window.partitionBy(F.md5("text"))
+    deduped = (
+        decont.withColumn("_min", F.min("doc_id").over(_wfp))
+        .filter(F.col("doc_id") == F.col("_min"))
+        .drop("_min")
     )
-    deduped = decont.join(keep_exact, "doc_id")
     # multi-ACTION barrier (same A/B rationale as pipeline_clean_sample)
     deduped = deduped.localCheckpoint()
     nd = near_dedup(
@@ -1096,9 +1116,8 @@ def q_pipeline_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.1,
     )
     kept = deduped.join(nd.filter("keep").select("doc_id"), "doc_id")
-    lang = lang_id(kept).select("doc_id", "pred_lang")
     samp = stratified_sample(
-        kept.join(lang, "doc_id"), "pred_lang", MIX_RATES,
+        with_lang_id(kept), "pred_lang", MIX_RATES,
         MIX_DEFAULT_RATE, salt=MIX_SALT,
     )
     return samp.select("doc_id", F.md5("text").alias("clean_md5"), "u")
@@ -1123,7 +1142,10 @@ def q_pipeline_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY row_number twin over the same derived corpus."""
     from textalyzer_spark.operators.near_dedup import near_dedup
     from textalyzer_spark.operators.pii import redact_pii, synthesize_pii
-    from textalyzer_spark.operators.quality import lang_id, quality_score
+    from textalyzer_spark.operators.quality import (
+        with_lang_id,
+        with_quality_score,
+    )
     from textalyzer_spark.operators.sampling import (
         cap_per_stratum,
         stratified_sample,
@@ -1131,20 +1153,24 @@ def q_pipeline_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pdoc = synthesize_pii(docs)
-    qkeep = (
-        quality_score(pdoc)
+    # join-free quality gate (q_pipeline_clean_sample rationale)
+    clean = redact_pii(
+        with_quality_score(pdoc)
         .filter(F.col("quality_score") >= PIPELINE_QMIN)
-        .select("doc_id")
+        .drop("quality_score")
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    # exact dedup as a window filter (round 8): keep rows whose
+    # doc_id is the minimum over their md5 fingerprint — identical
+    # keep set to the old groupBy+self-join, but the upstream narrow
+    # chain (scan -> synthesize -> quality Generate -> redact) is
+    # consumed ONCE instead of once per consumer (A/B: stage-1
+    # checkpoint 1.72-1.83 -> 1.46-1.51 s at sf0.1)
+    _wfp = Window.partitionBy(F.md5("text"))
+    deduped = (
+        clean.withColumn("_min", F.min("doc_id").over(_wfp))
+        .filter(F.col("doc_id") == F.col("_min"))
+        .drop("_min")
     )
-    clean = redact_pii(pdoc.join(qkeep, "doc_id")).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    keep_exact = (
-        clean.groupBy(F.md5("text").alias("_fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    deduped = clean.join(keep_exact, "doc_id")
     # multi-ACTION barrier (same A/B rationale as pipeline_clean_sample)
     deduped = deduped.localCheckpoint()
     nd = near_dedup(
@@ -1159,9 +1185,8 @@ def q_pipeline_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=PIPELINE_CAP_SALT, num_buckets=8,
     )
     kept2 = kept.join(capped.select("doc_id"), "doc_id")
-    lang = lang_id(kept2).select("doc_id", "pred_lang")
     samp = stratified_sample(
-        kept2.join(lang, "doc_id"), "pred_lang", MIX_RATES,
+        with_lang_id(kept2), "pred_lang", MIX_RATES,
         MIX_DEFAULT_RATE, salt=MIX_SALT,
     )
     return samp.select(

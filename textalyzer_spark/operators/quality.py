@@ -47,67 +47,99 @@ def _generate_barrier(df: DataFrame, keep: list, struct: Column) -> DataFrame:
     return df.select(*keep, F.explode(F.array(struct)).alias("_x"))
 
 
+def _stats_struct(text_col: str) -> Column:
+    """The per-doc token-stats struct expression — the ONE definition
+    of (n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    stopword_ratio, alpha_ratio); always evaluated behind a
+    :func:`_generate_barrier`."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col).cast("bigint")
+    n_alpha = F.length(
+        F.regexp_replace(F.col(text_col), r"[^\p{IsAlphabetic}]+", "")
+    ).cast("bigint")
+    n = F.size(toks).cast("double")
+    stop = F.size(
+        F.filter(toks, lambda w: w.isin(*ENGLISH_STOPWORDS))
+    ).cast("double")
+    return F.struct(
+        n_chars.alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, w: acc + F.length(w)
+                ).cast("double")
+                / n,
+                4,
+            ),
+        ).alias("avg_token_len"),
+        F.when(F.size(toks) > 0, F.round(stop / n, 4)).alias(
+            "stopword_ratio"
+        ),
+        F.when(
+            n_chars > 0,
+            F.round(n_alpha / n_chars.cast("double"), 4),
+        ).alias("alpha_ratio"),
+    )
+
+
+_STATS_FIELDS = (
+    "n_chars", "n_tokens", "n_distinct_tokens", "avg_token_len",
+    "stopword_ratio", "alpha_ratio",
+)
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc token statistics:
     ``(doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
-    stopword_ratio, alpha_ratio)``."""
-    toks = tokens_col(text_col)
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text_col).cast("bigint").alias("n_chars"),
-        toks.alias("toks"),
-        # chars that are part of alphabetic runs vs total
-        F.length(F.regexp_replace(F.col(text_col), r"[^\p{IsAlphabetic}]+", ""))
-        .cast("bigint")
-        .alias("n_alpha_chars"),
-    )
-    n = F.size("toks").cast("double")
-    stop = F.size(
-        F.filter("toks", lambda w: w.isin(*ENGLISH_STOPWORDS))
-    ).cast("double")
-    # ONE barrier at the operator's edge: standalone token_stats was
-    # already fine (a single Project evaluates the toks chain a few
-    # times, measured ~equal), but consumers — quality_score's score
-    # expression, pipeline quality filters — re-inline these columns
-    # many times over without it (a double barrier that also
-    # materialized the token array measured slightly SLOWER — A/B'd)
+    stopword_ratio, alpha_ratio)``.
+
+    ONE barrier at the operator's edge: standalone token_stats was
+    already fine (a single Project evaluates the toks chain a few
+    times, measured ~equal), but consumers — quality_score's score
+    expression, pipeline quality filters — re-inline these columns
+    many times over without it (round-8 A/B)."""
     stats = _generate_barrier(
-        out,
-        ["doc_id"],
-        F.struct(
-            F.col("n_chars").alias("n_chars"),
-            F.size("toks").alias("n_tokens"),
-            F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
-            F.when(
-                F.size("toks") > 0,
-                F.round(
-                    F.aggregate(
-                        "toks", F.lit(0), lambda acc, w: acc + F.length(w)
-                    ).cast("double")
-                    / n,
-                    4,
-                ),
-            ).alias("avg_token_len"),
-            F.when(F.size("toks") > 0, F.round(stop / n, 4)).alias(
-                "stopword_ratio"
-            ),
-            F.when(
-                F.col("n_chars") > 0,
-                F.round(
-                    F.col("n_alpha_chars") / F.col("n_chars").cast("double"), 4
-                ),
-            ).alias("alpha_ratio"),
-        ),
+        df, [F.col(id_col).alias("doc_id")], _stats_struct(text_col)
     )
     return stats.select(
-        "doc_id",
-        F.col("_x.n_chars").alias("n_chars"),
-        F.col("_x.n_tokens").alias("n_tokens"),
-        F.col("_x.n_distinct_tokens").alias("n_distinct_tokens"),
-        F.col("_x.avg_token_len").alias("avg_token_len"),
-        F.col("_x.stopword_ratio").alias("stopword_ratio"),
-        F.col("_x.alpha_ratio").alias("alpha_ratio"),
+        "doc_id", *[F.col(f"_x.{f}").alias(f) for f in _STATS_FIELDS]
     )
+
+
+def _quality_score_exprs(get) -> tuple[Column, Column]:
+    """``(score, ttr)`` from a stats-field accessor — the ONE
+    definition of the composite score, shared by :func:`quality_score`
+    and :func:`with_quality_score`.
+
+    Every component is rounded to 4 decimals before the weighted sum,
+    so the score is an exact 6-decimal value — round(…, 6) is then
+    unambiguous across engines (a 4-decimal final round would sit on
+    .5 boundaries systematically: 0.25 * 4-decimal = 5 decimals)."""
+    ttr = F.round(
+        F.when(
+            get("n_tokens") > 0,
+            get("n_distinct_tokens") / get("n_tokens").cast("double"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    len_ok = ((get("n_tokens") >= 10) & (get("n_tokens") <= 100000)).cast(
+        "double"
+    )
+    stop_ok = (F.coalesce(get("stopword_ratio"), F.lit(0.0)) >= 0.01).cast(
+        "double"
+    )
+    alpha = F.coalesce(get("alpha_ratio"), F.lit(0.0))
+    score = F.round(
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * stop_ok
+        + F.lit(0.25) * F.least(ttr * 2, F.lit(1.0))
+        + F.lit(0.25) * alpha,
+        6,
+    )
+    return score, ttr
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -119,29 +151,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     stopword_ratio, alpha_ratio)``
     """
     stats = token_stats(df, id_col, text_col)
-    # every component is rounded to 4 decimals before the weighted sum,
-    # so the score is an exact 6-decimal value — round(…, 6) is then
-    # unambiguous across engines (a 4-decimal final round would sit on
-    # .5 boundaries systematically: 0.25 * 4-decimal = 5 decimals)
-    ttr = F.round(
-        F.when(
-            F.col("n_tokens") > 0,
-            F.col("n_distinct_tokens") / F.col("n_tokens").cast("double"),
-        ).otherwise(F.lit(0.0)),
-        4,
-    )
-    len_ok = (
-        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
-    ).cast("double")
-    stop_ok = (F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) >= 0.01).cast("double")
-    alpha = F.coalesce(F.col("alpha_ratio"), F.lit(0.0))
-    score = F.round(
-        F.lit(0.25) * len_ok
-        + F.lit(0.25) * stop_ok
-        + F.lit(0.25) * F.least(ttr * 2, F.lit(1.0))
-        + F.lit(0.25) * alpha,
-        6,
-    )
+    score, ttr = _quality_score_exprs(F.col)
     return stats.select(
         "doc_id",
         score.alias("quality_score"),
@@ -150,6 +160,51 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         "stopword_ratio",
         "alpha_ratio",
     )
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", score_col: str = "quality_score"
+) -> DataFrame:
+    """``df.*`` plus the :func:`quality_score` column — the join-free
+    form a pipeline quality gate composes with: score values are
+    identical to ``quality_score``'s, but the caller filters in place
+    instead of computing the score table separately and self-joining
+    it back on doc_id (which re-evaluates the whole upstream subplan
+    twice AND pays a join — round-8 pipeline A/B)."""
+    if score_col in df.columns:
+        raise ValueError(f"column {score_col!r} already exists")
+    base = _generate_barrier(
+        df, [F.col(c) for c in df.columns], _stats_struct(text_col)
+    )
+
+    def get(f: str) -> Column:
+        return F.col(f"_x.{f}")
+
+    score, _ = _quality_score_exprs(get)
+    return base.select(*df.columns, score.alias(score_col))
+
+
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", lang_col: str = "pred_lang"
+) -> DataFrame:
+    """``df.*`` plus the :func:`lang_id` prediction column — the
+    join-free form (same rationale as :func:`with_quality_score`):
+    values identical to ``lang_id``'s ``pred_lang``."""
+    if lang_col in df.columns:
+        raise ValueError(f"column {lang_col!r} already exists")
+    toks = tokens_col(text_col)
+    langs = sorted(LANG_MARKERS)
+    out = _generate_barrier(
+        df,
+        [F.col(c) for c in df.columns],
+        F.struct(*[_lang_score(toks, lg).alias(f"s_{lg}") for lg in langs]),
+    )
+    s = {lg: F.col(f"_x.s_{lg}") for lg in langs}
+    best = F.greatest(*[s[lg] for lg in langs])
+    pred = F.when(best == 0, F.lit("unk"))
+    for lg in langs:
+        pred = pred.when(s[lg] == best, F.lit(lg))
+    return out.select(*df.columns, pred.alias(lang_col))
 
 
 def _lang_score(toks: Column, lang: str) -> Column:
