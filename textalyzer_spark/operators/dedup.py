@@ -267,12 +267,17 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified:
     ``(doc_a, doc_b, jaccard)``. ``shingles=`` accepts an ALREADY
     MATERIALIZED distinct ``(doc_id, shingle)`` table so a caller
     that also needs signatures (incremental component maintenance)
-    pays for one tokenize+shingle pass, not two.
+    pays for one tokenize+shingle pass, not two; ``buckets=`` an
+    ALREADY MATERIALIZED ``(doc_id, band, bucket)`` table (the
+    ``_band_buckets`` cut of the same signatures) so that caller's
+    cross band join and this intra join share ONE signature
+    aggregation + band explode (round 8).
 
     Candidate generation: signatures are cut into ``bands`` bands of
     ``num_hashes/bands`` rows; docs colliding in any band's bucket
@@ -302,22 +307,24 @@ def minhash_lsh_pairs(
         if shingles is not None
         else _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
     )
-    sigs = _signatures_from_shingles(sh, num_hashes, seed)
-    # bucket key = the band's signature values joined as a string —
-    # NOT re-hashed (xxhash64 has no cross-engine twin, and the key is
-    # bounded at rows x ~10 digits, so the shuffle-width win of an
-    # 8-byte rehash is marginal; equality semantics are identical
-    # minus a ~2^-64 collision false-positive the exact-verify stage
-    # would kill anyway)
-    buckets = _band_buckets(sigs, bands, rows)
-    # the band-bucket table feeds the mega-bucket guard AND both join
-    # sides; without materialization each consumer re-runs the
-    # signature aggregation + band explode (A/B'd again in round 8
-    # after the JVM-signature rewrite: dropping this checkpoint and
-    # relying on ReusedExchange measured 2.2 -> ~5 s on minhash_lsh
-    # at sf0.1 — the broadcast-join plan shape at this scale gives
-    # Catalyst no identical Exchange pair to reuse)
-    buckets = buckets.localCheckpoint()
+    if buckets is None:
+        sigs = _signatures_from_shingles(sh, num_hashes, seed)
+        # bucket key = the band's signature values joined as a string —
+        # NOT re-hashed (xxhash64 has no cross-engine twin, and the key
+        # is bounded at rows x ~10 digits, so the shuffle-width win of
+        # an 8-byte rehash is marginal; equality semantics are
+        # identical minus a ~2^-64 collision false-positive the
+        # exact-verify stage would kill anyway)
+        #
+        # the band-bucket table feeds the mega-bucket guard AND both
+        # join sides; without materialization each consumer re-runs
+        # the signature aggregation + band explode (A/B'd again in
+        # round 8 after the JVM-signature rewrite: dropping this
+        # checkpoint and relying on ReusedExchange measured 2.2 -> ~5 s
+        # on minhash_lsh at sf0.1 — the broadcast-join plan shape at
+        # this scale gives Catalyst no identical Exchange pair to
+        # reuse)
+        buckets = _band_buckets(sigs, bands, rows).localCheckpoint()
     if max_bucket_docs is not None:
         ok = (
             buckets.groupBy("band", "bucket")

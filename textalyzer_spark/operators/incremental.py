@@ -146,18 +146,23 @@ def _cross_pairs_from_sigs(
     bands: int,
     threshold: float,
     max_bucket_docs: int | None,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """The band-join + signature-agreement core of
     :func:`incremental_minhash_pairs`, over ALREADY MATERIALIZED new
     signatures — shared with the component-maintenance path so one
-    signature build feeds both intra and cross edges."""
+    signature build feeds both intra and cross edges. ``new_buckets=``
+    accepts the batch's already-materialized ``_band_buckets`` table
+    (shared with the intra join — round 8)."""
     rows = num_hashes // bands
     # component catalogs carry NULL signatures for shingle-less docs
     # (they can never match) — keep them out of the band join, where
     # a NULL signature would band to the "" bucket and fan out
     cat_sigs = catalog.filter(F.col("signature").isNotNull())
     ob = _band_buckets(cat_sigs, bands, rows)
-    nb = _band_buckets(new_sigs, bands, rows)
+    nb = new_buckets if new_buckets is not None else _band_buckets(
+        new_sigs, bands, rows
+    )
     if max_bucket_docs is not None:
         ok = (
             ob.select("band", "bucket")
@@ -304,19 +309,25 @@ def incremental_near_dup_components(
         F.col("doc_id") != F.col("component")
     ).select(F.col("doc_id").alias("src"), F.col("component").alias("dst"))
     # ONE tokenize+shingle+signature pass over the new batch feeds
-    # both the intra-batch pair chain and the cross band join
+    # both the intra-batch pair chain and the cross band join, and
+    # ONE materialized band-bucket table feeds both joins (round 8:
+    # the intra path's internal bucket build and the cross path's
+    # _band_buckets(new_sigs) were the same values computed twice)
     sh_new = _distinct_shingles(new_df, k, id_col, text_col).localCheckpoint()
-    new_sigs = _signatures_from_shingles(
-        sh_new, num_hashes, seed
+    new_sigs = _signatures_from_shingles(sh_new, num_hashes, seed)
+    new_buckets = _band_buckets(
+        new_sigs, bands, num_hashes // bands
     ).localCheckpoint()
     intra = minhash_lsh_pairs(
         new_df, k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold, seed=seed, max_bucket_docs=max_bucket_docs,
         id_col=id_col, text_col=text_col, shingles=sh_new,
+        buckets=new_buckets,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     cross = _cross_pairs_from_sigs(
         new_sigs, catalog.select("doc_id", "signature"),
         num_hashes, bands, threshold, max_bucket_docs,
+        new_buckets=new_buckets,
     ).select(F.col("doc_old").alias("src"), F.col("doc_new").alias("dst"))
     docs = (
         catalog.select("doc_id")
