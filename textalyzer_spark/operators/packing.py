@@ -91,11 +91,14 @@ def pack_sequences(
     whitespace splits under the pinned cross-engine class
     ``alphabet.WS_SPLIT``.
     """
-    from textalyzer_spark.functions.alphabet import WS_SPLIT
+    from textalyzer_spark.functions.alphabet import NON_WS_CLASS
 
-    n = F.size(
-        F.filter(F.split(F.col(text_col), WS_SPLIT), lambda t: t != "")
-    ).cast("long")
+    # count of non-empty WS_SPLIT pieces == count of maximal non-ws
+    # runs; regexp_count stays in codegen where the array-HOF filter
+    # ran interpreted (round 8; values identical by construction)
+    n = F.regexp_count(F.col(text_col), F.lit(f"{NON_WS_CLASS}+")).cast(
+        "long"
+    )
     t = df.select(F.col(id_col).alias("doc_id"), n.alias("n"))
 
     # bucket boundaries: a column-pruned scan (doc_id only) — cheap

@@ -69,9 +69,10 @@ def corpus_mixture(
         else n_tokens_col
     )
     if n_tok is None:
-        from textalyzer_spark.functions.tokenize import tokens_col
-
-        n_tok = F.size(tokens_col("text"))
+        # size of the tokenizer's array == number of maximal
+        # alphabetic runs; regexp_count stays in codegen where the
+        # split+filter+transform HOF chain ran interpreted (round 8)
+        n_tok = F.regexp_count(F.col("text"), F.lit(r"\p{IsAlphabetic}+"))
     per = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok.cast("bigint")).alias("n_tokens"),

@@ -23,11 +23,16 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """``(doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe_token)`` —
     whitespace-split count vs BPE-ish-regex count, the standard pair
     of corpus-size estimators for training-data budgeting."""
-    from textalyzer_spark.functions.alphabet import WS_SPLIT
+    from textalyzer_spark.functions.alphabet import NON_WS_CLASS
 
     lower = F.lower(F.col(text_col))
-    ws = F.size(F.filter(F.split(lower, WS_SPLIT), lambda t: t != ""))
-    bpe = F.size(F.regexp_extract_all(lower, F.lit(BPE_PATTERN), F.lit(0)))
+    # counts, not arrays: the number of non-empty WS_SPLIT pieces IS
+    # the number of maximal non-whitespace runs, and regexp_count
+    # stays in whole-stage codegen where the array-HOF filter
+    # evaluated interpreted and re-ran per reference (round 8);
+    # values are identical by construction
+    ws = F.regexp_count(lower, F.lit(f"{NON_WS_CLASS}+"))
+    bpe = F.regexp_count(lower, F.lit(BPE_PATTERN))
     return df.select(
         F.col(id_col).alias("doc_id"),
         ws.cast("int").alias("n_ws_tokens"),
