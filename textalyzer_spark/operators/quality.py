@@ -33,30 +33,56 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 
-def _generate_barrier(df: DataFrame, keep: list, struct: Column) -> DataFrame:
+def _generate_barrier(df: DataFrame, keep: list, struct: Column, alias: str = "_x") -> DataFrame:
     """Evaluate ``struct`` EXACTLY ONCE per row behind a Generate node
     (``explode(array(struct))`` of a 1-element array — row count
-    unchanged, stays in whole-stage codegen): CollapseProject re-inlines
-    a projected expression into every downstream reference, and the
-    interpreted higher-order functions in this module get no
-    common-subexpression elimination, so an unprotected score column
-    re-pays its whole token pass per reference (a composed
-    stratified_sample measured 2.1 s vs 1.0 s at sf0.1 — round-8 A/B).
-    A Generate is a projection-collapse boundary, so consumers read
-    plain struct fields instead."""
-    return df.select(*keep, F.explode(F.array(struct)).alias("_x"))
+    unchanged): CollapseProject re-inlines a projected expression into
+    every downstream reference, and expressions evaluated INTERPRETED
+    (array higher-order functions, and everything inside a Generate's
+    own generator) get no common-subexpression elimination, so an
+    unprotected score column re-pays its whole token pass per
+    reference (a composed stratified_sample measured 2.1 s vs 1.0 s
+    at sf0.1 — round-8 A/B). A Generate is a projection-collapse
+    boundary, so consumers read plain struct fields instead.
+
+    The same no-CSE rule applies INSIDE the generator: a struct whose
+    fields each inline the tokenizer re-splits the text per field
+    (token_stats measured 0.37 -> 0.85 s that way). Hence the
+    two-level discipline used below: the FIRST barrier materializes
+    the token array (+ other text-derived scalars) once, and any
+    second barrier's generator only traverses that attribute."""
+    return df.select(*keep, F.explode(F.array(struct)).alias(alias))
 
 
-def _stats_struct(text_col: str) -> Column:
-    """The per-doc token-stats struct expression — the ONE definition
-    of (n_chars, n_tokens, n_distinct_tokens, avg_token_len,
-    stopword_ratio, alpha_ratio); always evaluated behind a
-    :func:`_generate_barrier`."""
+def _tok_base(df: DataFrame, keep: list, text_col: str) -> DataFrame:
+    """Tokens-level barrier: ``keep`` columns plus ``_t`` struct
+    ``(n_chars, toks, n_alpha_chars)`` — the tokenizer and the two
+    text-length scans run exactly once per row; every stats/score
+    expression downstream traverses the materialized array."""
     toks = tokens_col(text_col)
-    n_chars = F.length(text_col).cast("bigint")
-    n_alpha = F.length(
-        F.regexp_replace(F.col(text_col), r"[^\p{IsAlphabetic}]+", "")
-    ).cast("bigint")
+    return _generate_barrier(
+        df,
+        keep,
+        F.struct(
+            F.length(text_col).cast("bigint").alias("n_chars"),
+            toks.alias("toks"),
+            # chars that are part of alphabetic runs vs total
+            F.length(
+                F.regexp_replace(F.col(text_col), r"[^\p{IsAlphabetic}]+", "")
+            )
+            .cast("bigint")
+            .alias("n_alpha_chars"),
+        ),
+        alias="_t",
+    )
+
+
+def _stats_struct_from_t() -> Column:
+    """The per-doc token-stats struct over the ``_t`` attribute — the
+    ONE definition of (n_chars, n_tokens, n_distinct_tokens,
+    avg_token_len, stopword_ratio, alpha_ratio)."""
+    toks = F.col("_t.toks")
+    n_chars = F.col("_t.n_chars")
     n = F.size(toks).cast("double")
     stop = F.size(
         F.filter(toks, lambda w: w.isin(*ENGLISH_STOPWORDS))
@@ -80,7 +106,7 @@ def _stats_struct(text_col: str) -> Column:
         ),
         F.when(
             n_chars > 0,
-            F.round(n_alpha / n_chars.cast("double"), 4),
+            F.round(F.col("_t.n_alpha_chars") / n_chars.cast("double"), 4),
         ).alias("alpha_ratio"),
     )
 
@@ -94,18 +120,12 @@ _STATS_FIELDS = (
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc token statistics:
     ``(doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
-    stopword_ratio, alpha_ratio)``.
-
-    ONE barrier at the operator's edge: standalone token_stats was
-    already fine (a single Project evaluates the toks chain a few
-    times, measured ~equal), but consumers — quality_score's score
-    expression, pipeline quality filters — re-inline these columns
-    many times over without it (round-8 A/B)."""
-    stats = _generate_barrier(
-        df, [F.col(id_col).alias("doc_id")], _stats_struct(text_col)
-    )
-    return stats.select(
-        "doc_id", *[F.col(f"_x.{f}").alias(f) for f in _STATS_FIELDS]
+    stopword_ratio, alpha_ratio)`` — the stats project runs in
+    whole-stage codegen over the barriered token array."""
+    base = _tok_base(df, [F.col(id_col).alias("doc_id")], text_col)
+    s = _stats_struct_from_t()
+    return base.select(
+        "doc_id", *[s.getField(f).alias(f) for f in _STATS_FIELDS]
     )
 
 
@@ -173,15 +193,15 @@ def with_quality_score(
     twice AND pays a join — round-8 pipeline A/B)."""
     if score_col in df.columns:
         raise ValueError(f"column {score_col!r} already exists")
-    base = _generate_barrier(
-        df, [F.col(c) for c in df.columns], _stats_struct(text_col)
-    )
+    keep = [F.col(c) for c in df.columns]
+    base = _tok_base(df, keep, text_col)
+    stats = _generate_barrier(base, keep, _stats_struct_from_t())
 
     def get(f: str) -> Column:
         return F.col(f"_x.{f}")
 
     score, _ = _quality_score_exprs(get)
-    return base.select(*df.columns, score.alias(score_col))
+    return stats.select(*df.columns, score.alias(score_col))
 
 
 def with_lang_id(
@@ -192,11 +212,13 @@ def with_lang_id(
     values identical to ``lang_id``'s ``pred_lang``."""
     if lang_col in df.columns:
         raise ValueError(f"column {lang_col!r} already exists")
-    toks = tokens_col(text_col)
     langs = sorted(LANG_MARKERS)
+    keep = [F.col(c) for c in df.columns]
+    base = _tok_base(df, keep, text_col)
+    toks = F.col("_t.toks")
     out = _generate_barrier(
-        df,
-        [F.col(c) for c in df.columns],
+        base,
+        keep,
         F.struct(*[_lang_score(toks, lg).alias(f"s_{lg}") for lg in langs]),
     )
     s = {lg: F.col(f"_x.s_{lg}") for lg in langs}
@@ -216,15 +238,18 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     ``(doc_id, pred_lang, lang_score)``. On a score tie the first
     language in alphabetical order wins ('unk' when all scores are 0).
     """
-    toks = tokens_col(text_col)
     langs = sorted(LANG_MARKERS)
-    # Generate barrier (_generate_barrier rationale): the five score
-    # expressions would otherwise re-inline into every downstream
-    # reference — pred's CASE chain alone references them ~15x, and a
-    # composed consumer (stratified_sample's filter) doubles that
+    # two-level barrier (_generate_barrier rationale): the tokens
+    # materialize once in _tok_base (the scores' generator would
+    # otherwise re-split the text per language, interpreted), and the
+    # five score expressions materialize once here — pred's CASE chain
+    # alone references them ~15x, and a composed consumer
+    # (stratified_sample's filter) doubles that
+    base = _tok_base(df, [F.col(id_col).alias("doc_id")], text_col)
+    toks = F.col("_t.toks")
     out = _generate_barrier(
-        df,
-        [F.col(id_col).alias("doc_id")],
+        base,
+        ["doc_id"],
         F.struct(*[_lang_score(toks, lg).alias(f"s_{lg}") for lg in langs]),
     )
     s = {lg: F.col(f"_x.s_{lg}") for lg in langs}
