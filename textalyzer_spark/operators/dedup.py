@@ -456,11 +456,29 @@ def contamination_from_catalog(
     (the incremental form: new crawl batch vs the merged catalog of
     every benchmark suite ingested so far). ``k`` must equal the
     catalog's shingle length — grams of a different length can never
-    match and everything silently reads clean."""
+    match and everything would silently read clean, so the catalog
+    side ENFORCES it in-plan (ADVICE r7): every catalog shingle is
+    asserted to have exactly ``k`` space-joined tokens while the
+    broadcast relation is built — zero extra jobs, and a stale or
+    mis-parameterized catalog fails loudly instead of passing."""
     sh = doc_shingles(df, k, id_col, text_col)
+    checked = F.when(
+        F.size(F.split(F.col("shingle"), F.lit(" "), F.lit(-1))) != F.lit(k),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"contamination_from_catalog: catalog shingle is not a "
+                    f"{k}-gram (k mismatch between catalog and query): "
+                ),
+                F.col("shingle"),
+            )
+        ),
+    ).otherwise(F.col("shingle"))
     marked = sh.join(
         F.broadcast(
-            catalog.select("shingle").withColumn("_hit", F.lit(1))
+            catalog.select(checked.alias("shingle")).withColumn(
+                "_hit", F.lit(1)
+            )
         ),
         "shingle",
         "left",

@@ -217,7 +217,24 @@ def _ln_kernel():
     ref = np.fromiter(
         map(math.log, probe.tolist()), dtype=np.float64, count=len(probe)
     )
-    if bool((np.log(probe) == ref).all()):
+
+    def _avx512_log_possible() -> bool:
+        """True when numpy could still dispatch an AVX512 SIMD log —
+        i.e. the session.py NPY_DISABLE_CPU_FEATURES export did NOT
+        take effect (ADVICE r7: the value probe alone is inductive; a
+        SIMD build agreeing on the probe but diverging elsewhere would
+        silently break bit-exactness). If the feature state cannot be
+        read, assume the worst."""
+        try:
+            from numpy.core._multiarray_umath import (  # type: ignore
+                __cpu_features__,
+            )
+
+            return bool(__cpu_features__.get("AVX512F", False))
+        except Exception:
+            return True
+
+    if bool((np.log(probe) == ref).all()) and not _avx512_log_possible():
         return np.log
     return lambda a: np.fromiter(
         map(math.log, a.tolist()), dtype=np.float64, count=len(a)

@@ -180,6 +180,7 @@ def span_catalog(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """First-occurrence catalog of span hashes: ``(h, keep_id,
     keep_start)`` — one row per DISTINCT ``n``-line span in the
@@ -187,8 +188,12 @@ def span_catalog(
     O(distinct spans) state, the span-granular analog of
     :func:`operators.incremental.exact_catalog`; built with the same
     skew-safe ``min(struct)`` hash agg as :func:`span_dedup` (a
-    boilerplate span in millions of docs partial-aggregates map-side)."""
-    _, spans = _lines_and_spans(df, n, id_col, text_col)
+    boilerplate span in millions of docs partial-aggregates map-side).
+    ``spans=`` accepts an ALREADY MATERIALIZED span table so the
+    streaming maintenance job derives the batch's spans once for both
+    the dedup rebuild and the catalog append (ADVICE r7)."""
+    if spans is None:
+        _, spans = _lines_and_spans(df, n, id_col, text_col)
     return spans.groupBy("h").agg(
         F.min(F.struct(F.col(id_col), F.col("start"))).alias("first")
     ).select(
@@ -204,6 +209,7 @@ def incremental_span_dedup(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Span-dedup the NEW batch against a prior-snapshot catalog: a
     new-batch span occurrence is removed iff its hash is already in
@@ -251,13 +257,14 @@ def updated_span_catalog(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """The next catalog snapshot: prior entries win (their occurrence
     stays first); span hashes unseen before enter with their
     batch-minimal occurrence. Anti-join on ``h`` — the catalog is
     never rewritten, only appended (the
     :func:`operators.incremental.updated_exact_catalog` discipline)."""
-    new_cat = span_catalog(new_df, n, id_col, text_col)
+    new_cat = span_catalog(new_df, n, id_col, text_col, spans=spans)
     return catalog.unionByName(
         new_cat.join(catalog.select("h"), "h", "left_anti")
     )

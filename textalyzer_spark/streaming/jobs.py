@@ -513,9 +513,17 @@ def streaming_catalog_maintenance(
                 )
             )
             # rebuilt docs + catalog are two ACTIONS over the batch's
-            # spans — the derived-corpus barrier rule (BENCH.md A/B)
-            out = sd.incremental_span_dedup(batch_df, cat, n=k).localCheckpoint()
-            new_cat = sd.updated_span_catalog(cat, batch_df, n=k)
+            # spans — derive the span table ONCE and materialize it so
+            # both consumers share the line-explode + lead window +
+            # md5 pass (ADVICE r7: the previous shape re-derived the
+            # batch's spans inside updated_span_catalog)
+            spans = sd._lines_and_spans(batch_df, k, "doc_id", "text")[
+                1
+            ].localCheckpoint()
+            out = sd.incremental_span_dedup(
+                batch_df, cat, n=k, spans=spans
+            ).localCheckpoint()
+            new_cat = sd.updated_span_catalog(cat, batch_df, n=k, spans=spans)
         elif method == "bloom":
             from textalyzer_spark.operators import sketch as sk
 
