@@ -536,7 +536,11 @@ def duplicate_blocks(
     if min_lines <= 1:
         return duplicate_lines(df, id_col, text_col)
 
-    lines = explode_lines(df, id_col, text_col)
+    # the exploded line table feeds the seed self-join (both sides),
+    # the empty-line probes, and the candidate dedent join —
+    # materialize once (round-8 A/B: 1.65-1.77 -> 1.40-1.50 s at
+    # sf0.1, and the cold first build drops 4.9 -> 1.7 s)
+    lines = explode_lines(df, id_col, text_col).localCheckpoint()
     pairs = _matching_line_pairs(lines, max_locations_per_line)
     runs = _maximal_runs(pairs, lines, docs=df, text_col=text_col)
     if emit_suffixes:
