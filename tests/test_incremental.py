@@ -351,3 +351,25 @@ def test_gram_catalog_merge_equals_union(spark):
     }
     assert inc == one
     assert inc[10][1] > 0 and inc[11][1] == 0  # planted hit / clean
+
+
+def test_contamination_catalog_k_mismatch_raises(spark):
+    """ADVICE r7: a catalog of j-grams screened with k != j used to
+    report every doc clean; the in-plan guard must fail loudly."""
+    import pytest
+
+    from textalyzer_spark.operators.dedup import (
+        benchmark_gram_catalog,
+        contamination_from_catalog,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    cat3 = benchmark_gram_catalog(docs, k=3)
+    # matching k still works
+    ok = contamination_from_catalog(docs, cat3, k=3).collect()
+    assert ok[0]["n_contaminated"] > 0
+    with pytest.raises(Exception, match="k mismatch"):
+        contamination_from_catalog(docs, cat3, k=5).collect()

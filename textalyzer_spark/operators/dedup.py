@@ -462,7 +462,11 @@ def contamination_from_catalog(
     broadcast relation is built — zero extra jobs, and a stale or
     mis-parameterized catalog fails loudly instead of passing."""
     sh = doc_shingles(df, k, id_col, text_col)
-    checked = F.when(
+    # the assertion rides the _hit payload column, NOT the join key:
+    # wrapping the key itself changed the projection's statistics and
+    # degraded the downstream per-doc join in the static plan
+    # (pinned by tests/test_plans.py)
+    hit_checked = F.when(
         F.size(F.split(F.col("shingle"), F.lit(" "), F.lit(-1))) != F.lit(k),
         F.raise_error(
             F.concat(
@@ -471,14 +475,12 @@ def contamination_from_catalog(
                     f"{k}-gram (k mismatch between catalog and query): "
                 ),
                 F.col("shingle"),
-            )
-        ),
-    ).otherwise(F.col("shingle"))
+            ).cast("string"),
+        ).cast("int"),
+    ).otherwise(F.lit(1))
     marked = sh.join(
         F.broadcast(
-            catalog.select(checked.alias("shingle")).withColumn(
-                "_hit", F.lit(1)
-            )
+            catalog.select("shingle").withColumn("_hit", hit_checked)
         ),
         "shingle",
         "left",
