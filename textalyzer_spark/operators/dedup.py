@@ -40,7 +40,37 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _distinct_shingles(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
-    return doc_shingles(df, k, id_col, text_col).distinct()
+    """DISTINCT ``(doc_id, shingle)`` — deduplicated IN THE KERNEL:
+    duplicates can only occur within a document, so emitting each
+    doc's shingle set (insertion-ordered dict keys) makes the rows
+    globally distinct with no corpus-wide distinct shuffle (round 8;
+    the winnow-fingerprint discipline). Multiset-identical to
+    ``doc_shingles(...).distinct()``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from textalyzer_spark.functions.tokenize import tokenize_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_text(text or "")
+                n = len(toks) - k + 1
+                if n <= 0:
+                    continue
+                ss = dict.fromkeys(
+                    " ".join(toks[i : i + k]) for i in range(n)
+                )
+                ids.extend([doc_id] * len(ss))
+                shingles.extend(ss)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"doc_id {id_type}, shingle string"
+    )
 
 
 def ngram_jaccard_pairs(
