@@ -39,13 +39,28 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _distinct_shingles(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+def _distinct_shingles(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    with_base_hash: bool = False,
+) -> DataFrame:
     """DISTINCT ``(doc_id, shingle)`` — deduplicated IN THE KERNEL:
     duplicates can only occur within a document, so emitting each
     doc's shingle set (insertion-ordered dict keys) makes the rows
     globally distinct with no corpus-wide distinct shuffle (round 8;
     the winnow-fingerprint discipline). Multiset-identical to
-    ``doc_shingles(...).distinct()``."""
+    ``doc_shingles(...).distinct()``.
+
+    ``with_base_hash=True`` additionally emits ``x`` = the minhash
+    base hash ``md5-LE8(shingle) mod p`` — hashlib.md5 here costs
+    microseconds per batch, while the JVM twin (md5 → 8 hex
+    substrings → concat → conv(16,10) → decimal → pmod,
+    ``_md5_le8_col``) dominated the signature aggregation (round-8
+    profile: ~0.8 s of the 1.9 s minhash pair chain at sf0.1).
+    Identical values by the md5-LE8 == md5_number_upper identity."""
+    import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
@@ -55,6 +70,7 @@ def _distinct_shingles(df: DataFrame, k: int, id_col: str, text_col: str) -> Dat
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, shingles = [], []
+            xs: list[int] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = tokenize_text(text or "")
                 n = len(toks) - k + 1
@@ -65,12 +81,24 @@ def _distinct_shingles(df: DataFrame, k: int, id_col: str, text_col: str) -> Dat
                 )
                 ids.extend([doc_id] * len(ss))
                 shingles.extend(ss)
-            yield pd.DataFrame({"doc_id": ids, "shingle": shingles})
+                if with_base_hash:
+                    xs.extend(
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:8], "little"
+                        )
+                        % _P
+                        for s in ss
+                    )
+            out = {"doc_id": ids, "shingle": shingles}
+            if with_base_hash:
+                out["x"] = pd.Series(xs, dtype="int64")
+            yield pd.DataFrame(out)
 
     id_type = dict(df.dtypes).get(id_col, "string")
-    return df.select(id_col, text_col).mapInPandas(
-        run, f"doc_id {id_type}, shingle string"
-    )
+    schema = f"doc_id {id_type}, shingle string"
+    if with_base_hash:
+        schema += ", x bigint"
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def ngram_jaccard_pairs(
@@ -246,8 +274,14 @@ def _signatures_from_shingles(
     (minhash_lsh_pairs), this path reuses it instead of re-running
     the whole tokenize+shingle pass in python."""
     av, bv = _hash_params(num_hashes, seed)
-    x = F.pmod(_md5_le8_col(F.col("shingle")), F.lit(_P)).cast("bigint")
-    based = sh.select("doc_id", x.alias("x"))
+    # prefer the kernel-computed base hash when the shingle table
+    # carries it (with_base_hash=True) — same values, none of the
+    # hex-conv-decimal chain per row
+    if "x" in sh.columns:
+        based = sh.select("doc_id", "x")
+    else:
+        x = F.pmod(_md5_le8_col(F.col("shingle")), F.lit(_P)).cast("bigint")
+        based = sh.select("doc_id", x.alias("x"))
     # x < 2^31 and a < 2^31, so a*x + b < 2^62 — exact in ANSI bigint
     aggs = [
         F.min((F.col("x") * F.lit(av[i]) + F.lit(bv[i])) % F.lit(_P)).alias(
@@ -335,7 +369,9 @@ def minhash_lsh_pairs(
     sh = (
         shingles
         if shingles is not None
-        else _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
+        else _distinct_shingles(
+            df, k, id_col, text_col, with_base_hash=True
+        ).localCheckpoint()
     )
     if buckets is None:
         sigs = _signatures_from_shingles(sh, num_hashes, seed)

@@ -101,7 +101,7 @@ def minhash_catalog(
     JVM-side signature pipeline of ``minhash_lsh_pairs`` (md5-LE8
     base hash mod p, affine mins), num_hashes ints per doc: the only
     state the incremental path ever needs."""
-    sh = _distinct_shingles(df, k, id_col, text_col)
+    sh = _distinct_shingles(df, k, id_col, text_col, with_base_hash=True)
     return _signatures_from_shingles(sh, num_hashes, seed)
 
 
@@ -246,7 +246,9 @@ def minhash_component_catalog(
 
     # ONE tokenize+shingle pass feeds both the stored signatures and
     # the exact-verified pair chain
-    sh = _distinct_shingles(df, k, id_col, text_col).localCheckpoint()
+    sh = _distinct_shingles(
+        df, k, id_col, text_col, with_base_hash=True
+    ).localCheckpoint()
     sigs = _signatures_from_shingles(sh, num_hashes, seed)
     pairs = minhash_lsh_pairs(
         df, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -313,7 +315,9 @@ def incremental_near_dup_components(
     # ONE materialized band-bucket table feeds both joins (round 8:
     # the intra path's internal bucket build and the cross path's
     # _band_buckets(new_sigs) were the same values computed twice)
-    sh_new = _distinct_shingles(new_df, k, id_col, text_col).localCheckpoint()
+    sh_new = _distinct_shingles(
+        new_df, k, id_col, text_col, with_base_hash=True
+    ).localCheckpoint()
     new_sigs = _signatures_from_shingles(sh_new, num_hashes, seed)
     new_buckets = _band_buckets(
         new_sigs, bands, num_hashes // bands
