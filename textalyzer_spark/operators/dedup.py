@@ -332,6 +332,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     shingles: DataFrame | None = None,
     buckets: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified:
     ``(doc_a, doc_b, jaccard)``. ``shingles=`` accepts an ALREADY
@@ -341,7 +342,13 @@ def minhash_lsh_pairs(
     ALREADY MATERIALIZED ``(doc_id, band, bucket)`` table (the
     ``_band_buckets`` cut of the same signatures) so that caller's
     cross band join and this intra join share ONE signature
-    aggregation + band explode (round 8).
+    aggregation + band explode (round 8); ``sigs=`` an ALREADY
+    MATERIALIZED ``(doc_id, signature)`` table — the band cut then
+    derives from the checkpoint as a cheap narrow explode per
+    consumer (no bucket checkpoint), and the caller's other signature
+    consumers (catalog join, estimator attach) read the same
+    materialization instead of re-running the affine-min aggregation
+    (round 8: the agg ran twice per catalog build).
 
     Candidate generation: signatures are cut into ``bands`` bands of
     ``num_hashes/bands`` rows; docs colliding in any band's bucket
@@ -373,7 +380,14 @@ def minhash_lsh_pairs(
             df, k, id_col, text_col, with_base_hash=True
         ).localCheckpoint()
     )
-    if buckets is None:
+    if buckets is None and sigs is not None:
+        # caller-materialized signatures: each bucket consumer (guard,
+        # both join sides) re-derives the band explode from the sigs
+        # checkpoint — a narrow codegen-adjacent derive, measured
+        # equal to a bucket checkpoint (round-8 A/B) with one less
+        # materialization held in memory
+        buckets = _band_buckets(sigs, bands, rows)
+    elif buckets is None:
         sigs = _signatures_from_shingles(sh, num_hashes, seed)
         # bucket key = the band's signature values joined as a string —
         # NOT re-hashed (xxhash64 has no cross-engine twin, and the key

@@ -245,15 +245,20 @@ def minhash_component_catalog(
     from textalyzer_spark.operators.graph import connected_components
 
     # ONE tokenize+shingle pass feeds both the stored signatures and
-    # the exact-verified pair chain
+    # the exact-verified pair chain; the signature aggregation is
+    # materialized ONCE and feeds the band cut, the pair chain and
+    # the stored catalog column (round 8: without the sigs
+    # checkpoint the affine-min agg ran twice — once into the bucket
+    # checkpoint inside minhash_lsh_pairs, again in the final
+    # labels-join action)
     sh = _distinct_shingles(
         df, k, id_col, text_col, with_base_hash=True
     ).localCheckpoint()
-    sigs = _signatures_from_shingles(sh, num_hashes, seed)
+    sigs = _signatures_from_shingles(sh, num_hashes, seed).localCheckpoint()
     pairs = minhash_lsh_pairs(
         df, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
         seed=seed, max_bucket_docs=max_bucket_docs,
-        id_col=id_col, text_col=text_col, shingles=sh,
+        id_col=id_col, text_col=text_col, shingles=sh, sigs=sigs,
     )
     docs = df.select(F.col(id_col).alias("doc_id")).distinct()
     labels = connected_components(
@@ -311,17 +316,19 @@ def incremental_near_dup_components(
         F.col("doc_id") != F.col("component")
     ).select(F.col("doc_id").alias("src"), F.col("component").alias("dst"))
     # ONE tokenize+shingle+signature pass over the new batch feeds
-    # both the intra-batch pair chain and the cross band join, and
-    # ONE materialized band-bucket table feeds both joins (round 8:
-    # the intra path's internal bucket build and the cross path's
-    # _band_buckets(new_sigs) were the same values computed twice)
+    # both the intra-batch pair chain and the cross band join: the
+    # signature aggregation is materialized once (round 8 — it
+    # previously ran twice, into the bucket checkpoint and again for
+    # the cross estimator's signature attach), and the shared band
+    # cut derives from that checkpoint as a cheap narrow explode per
+    # consumer
     sh_new = _distinct_shingles(
         new_df, k, id_col, text_col, with_base_hash=True
     ).localCheckpoint()
-    new_sigs = _signatures_from_shingles(sh_new, num_hashes, seed)
-    new_buckets = _band_buckets(
-        new_sigs, bands, num_hashes // bands
+    new_sigs = _signatures_from_shingles(
+        sh_new, num_hashes, seed
     ).localCheckpoint()
+    new_buckets = _band_buckets(new_sigs, bands, num_hashes // bands)
     intra = minhash_lsh_pairs(
         new_df, k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold, seed=seed, max_bucket_docs=max_bucket_docs,
