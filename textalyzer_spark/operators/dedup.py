@@ -45,6 +45,7 @@ def _distinct_shingles(
     id_col: str,
     text_col: str,
     with_base_hash: bool = False,
+    sig_params: tuple[int, int] | None = None,
 ) -> DataFrame:
     """DISTINCT ``(doc_id, shingle)`` — deduplicated IN THE KERNEL:
     duplicates can only occur within a document, so emitting each
@@ -59,18 +60,40 @@ def _distinct_shingles(
     substrings → concat → conv(16,10) → decimal → pmod,
     ``_md5_le8_col``) dominated the signature aggregation (round-8
     profile: ~0.8 s of the 1.9 s minhash pair chain at sf0.1).
-    Identical values by the md5-LE8 == md5_number_upper identity."""
+    Identical values by the md5-LE8 == md5_number_upper identity.
+
+    ``sig_params=(num_hashes, seed)`` additionally emits ONE
+    signature row per document (``shingle``/``x`` NULL,
+    ``signature`` = the minhash affine-min vector, computed in-kernel
+    exactly as :func:`minhash_signatures` does) interleaved with the
+    shingle rows — one kernel pass and ONE materialization replace
+    the kernel pass + a separate affine-min aggregation shuffle
+    (round 8: at bench scale these composition gates are bounded by
+    job/barrier count, not data). Slice consumers with
+    ``shingle IS [NOT] NULL``. Values identical to
+    :func:`_signatures_from_shingles` over the shingle slice (same
+    base hash mod p, same affine params, min over the same distinct
+    set — the identity already pinned for minhash_signatures)."""
     import hashlib
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
     from textalyzer_spark.functions.tokenize import tokenize_text
+
+    if sig_params is not None:
+        num_hashes, seed = sig_params
+        av, bv = _hash_params(num_hashes, seed)
+        a_arr = np.asarray(av, dtype=np.uint64)
+        b_arr = np.asarray(bv, dtype=np.uint64)
+        p_mod = np.uint64(_P)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, shingles = [], []
             xs: list[int] = []
+            sig_ids, sig_vals = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = tokenize_text(text or "")
                 n = len(toks) - k + 1
@@ -81,23 +104,44 @@ def _distinct_shingles(
                 )
                 ids.extend([doc_id] * len(ss))
                 shingles.extend(ss)
-                if with_base_hash:
-                    xs.extend(
+                if with_base_hash or sig_params is not None:
+                    doc_xs = [
                         int.from_bytes(
                             hashlib.md5(s.encode()).digest()[:8], "little"
                         )
                         % _P
                         for s in ss
-                    )
-            out = {"doc_id": ids, "shingle": shingles}
+                    ]
+                    if with_base_hash:
+                        xs.extend(doc_xs)
+                    if sig_params is not None:
+                        base = np.asarray(doc_xs, dtype=np.uint64)
+                        # a*(x mod p)+b < 2^62 — exact in uint64
+                        perms = (
+                            base[:, None] * a_arr[None, :] + b_arr[None, :]
+                        ) % p_mod
+                        sig_ids.append(doc_id)
+                        sig_vals.append(
+                            perms.min(axis=0).astype(np.int64).tolist()
+                        )
+            out: dict = {"doc_id": ids, "shingle": shingles}
             if with_base_hash:
                 out["x"] = pd.Series(xs, dtype="int64")
+            if sig_params is not None:
+                n_sh, n_sig = len(ids), len(sig_ids)
+                out["doc_id"] = ids + sig_ids
+                out["shingle"] = shingles + [None] * n_sig
+                if with_base_hash:
+                    out["x"] = xs + [None] * n_sig
+                out["signature"] = [None] * n_sh + sig_vals
             yield pd.DataFrame(out)
 
     id_type = dict(df.dtypes).get(id_col, "string")
     schema = f"doc_id {id_type}, shingle string"
     if with_base_hash:
         schema += ", x bigint"
+    if sig_params is not None:
+        schema += ", signature array<bigint>"
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
@@ -373,38 +417,51 @@ def minhash_lsh_pairs(
     # and the exact-verify joins below. The previous shape ran the
     # python minhash stage AND the shingle materialization — two full
     # passes over every byte of the corpus.
-    sh = (
-        shingles
-        if shingles is not None
-        else _distinct_shingles(
-            df, k, id_col, text_col, with_base_hash=True
+    if shingles is not None:
+        sh = shingles
+    else:
+        # ONE kernel pass + ONE materialization carries both the
+        # distinct-shingle rows (for exact verify) and one in-kernel
+        # signature row per doc (for the band cut) — the separate
+        # affine-min aggregation shuffle + its own checkpoint are gone
+        # (round 8: these gates are bounded by job/barrier count at
+        # bench scale, and at cluster scale it is one less pass over
+        # the derived shingle table)
+        raw = _distinct_shingles(
+            df, k, id_col, text_col, with_base_hash=True,
+            sig_params=(num_hashes, seed),
         ).localCheckpoint()
-    )
+        sh = raw.filter(F.col("shingle").isNotNull()).select(
+            "doc_id", "shingle", "x"
+        )
+        if sigs is None and buckets is None:
+            sigs = raw.filter(F.col("shingle").isNull()).select(
+                "doc_id", "signature"
+            )
     if buckets is None and sigs is not None:
-        # caller-materialized signatures: each bucket consumer (guard,
-        # both join sides) re-derives the band explode from the sigs
-        # checkpoint — a narrow codegen-adjacent derive, measured
-        # equal to a bucket checkpoint (round-8 A/B) with one less
-        # materialization held in memory
-        buckets = _band_buckets(sigs, bands, rows)
-    elif buckets is None:
-        sigs = _signatures_from_shingles(sh, num_hashes, seed)
+        # caller- or kernel-materialized signatures: each bucket
+        # consumer (guard, both join sides) re-derives the band
+        # explode from the checkpoint slice — a narrow derive,
+        # measured equal to a bucket checkpoint (round-8 A/B) with
+        # one less materialization held in memory.
         # bucket key = the band's signature values joined as a string —
         # NOT re-hashed (xxhash64 has no cross-engine twin, and the key
         # is bounded at rows x ~10 digits, so the shuffle-width win of
         # an 8-byte rehash is marginal; equality semantics are
         # identical minus a ~2^-64 collision false-positive the
         # exact-verify stage would kill anyway)
-        #
-        # the band-bucket table feeds the mega-bucket guard AND both
-        # join sides; without materialization each consumer re-runs
-        # the signature aggregation + band explode (A/B'd again in
-        # round 8 after the JVM-signature rewrite: dropping this
-        # checkpoint and relying on ReusedExchange measured 2.2 -> ~5 s
-        # on minhash_lsh at sf0.1 — the broadcast-join plan shape at
+        buckets = _band_buckets(sigs, bands, rows)
+    elif buckets is None:
+        # caller passed a bare shingle table with no signatures: the
+        # JVM affine-min aggregation derives them, materialized as a
+        # bucket checkpoint — without it each bucket consumer re-runs
+        # the aggregation (A/B'd in round 8: dropping this checkpoint
+        # and relying on ReusedExchange measured 2.2 -> ~5 s on
+        # minhash_lsh at sf0.1 — the broadcast-join plan shape at
         # this scale gives Catalyst no identical Exchange pair to
         # reuse)
-        buckets = _band_buckets(sigs, bands, rows).localCheckpoint()
+        jsigs = _signatures_from_shingles(sh, num_hashes, seed)
+        buckets = _band_buckets(jsigs, bands, rows).localCheckpoint()
     if max_bucket_docs is not None:
         ok = (
             buckets.groupBy("band", "bucket")

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from textalyzer_spark.operators.dedup import (
     _band_buckets,
     _distinct_shingles,
-    _signatures_from_shingles,
 )
 
 
@@ -97,12 +96,17 @@ def minhash_catalog(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(doc_id, signature array<bigint>)`` snapshot catalog — the
-    JVM-side signature pipeline of ``minhash_lsh_pairs`` (md5-LE8
-    base hash mod p, affine mins), num_hashes ints per doc: the only
-    state the incremental path ever needs."""
-    sh = _distinct_shingles(df, k, id_col, text_col, with_base_hash=True)
-    return _signatures_from_shingles(sh, num_hashes, seed)
+    """``(doc_id, signature array<bigint>)`` snapshot catalog —
+    num_hashes ints per doc: the only state the incremental path ever
+    needs. Computed by the in-kernel Arrow path
+    (:func:`~textalyzer_spark.operators.dedup.minhash_signatures` —
+    value-identical to the JVM ``_signatures_from_shingles`` pipeline
+    by the pinned md5-LE8 identity): a catalog-only caller needs no
+    shingle table, so the single kernel pass with NO aggregation
+    shuffle is the minimal shape (round 8)."""
+    from textalyzer_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(df, k, num_hashes, seed, id_col, text_col)
 
 
 def incremental_minhash_pairs(
@@ -244,17 +248,21 @@ def minhash_component_catalog(
     from textalyzer_spark.operators.dedup import minhash_lsh_pairs
     from textalyzer_spark.operators.graph import connected_components
 
-    # ONE tokenize+shingle pass feeds both the stored signatures and
-    # the exact-verified pair chain; the signature aggregation is
-    # materialized ONCE and feeds the band cut, the pair chain and
-    # the stored catalog column (round 8: without the sigs
-    # checkpoint the affine-min agg ran twice — once into the bucket
-    # checkpoint inside minhash_lsh_pairs, again in the final
-    # labels-join action)
-    sh = _distinct_shingles(
-        df, k, id_col, text_col, with_base_hash=True
+    # ONE kernel pass + ONE materialization feeds the stored
+    # signatures (computed in-kernel), the band cut and the
+    # exact-verified pair chain (round 8: previously the affine-min
+    # aggregation ran as its own shuffle — twice, before the sigs=
+    # pass-through — on top of the shingle pass)
+    raw = _distinct_shingles(
+        df, k, id_col, text_col, with_base_hash=True,
+        sig_params=(num_hashes, seed),
     ).localCheckpoint()
-    sigs = _signatures_from_shingles(sh, num_hashes, seed).localCheckpoint()
+    sh = raw.filter(F.col("shingle").isNotNull()).select(
+        "doc_id", "shingle", "x"
+    )
+    sigs = raw.filter(F.col("shingle").isNull()).select(
+        "doc_id", "signature"
+    )
     pairs = minhash_lsh_pairs(
         df, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
         seed=seed, max_bucket_docs=max_bucket_docs,
@@ -315,19 +323,23 @@ def incremental_near_dup_components(
     old_edges = catalog.filter(
         F.col("doc_id") != F.col("component")
     ).select(F.col("doc_id").alias("src"), F.col("component").alias("dst"))
-    # ONE tokenize+shingle+signature pass over the new batch feeds
-    # both the intra-batch pair chain and the cross band join: the
-    # signature aggregation is materialized once (round 8 — it
-    # previously ran twice, into the bucket checkpoint and again for
-    # the cross estimator's signature attach), and the shared band
-    # cut derives from that checkpoint as a cheap narrow explode per
+    # ONE kernel pass + ONE materialization over the new batch feeds
+    # the intra-batch pair chain, the cross band join and the cross
+    # estimator's signature attach: signatures are computed in-kernel
+    # (round 8 — previously a separate affine-min aggregation shuffle,
+    # run twice before the sigs= pass-through), and the shared band
+    # cut derives from the checkpoint as a cheap narrow explode per
     # consumer
-    sh_new = _distinct_shingles(
-        new_df, k, id_col, text_col, with_base_hash=True
+    raw_new = _distinct_shingles(
+        new_df, k, id_col, text_col, with_base_hash=True,
+        sig_params=(num_hashes, seed),
     ).localCheckpoint()
-    new_sigs = _signatures_from_shingles(
-        sh_new, num_hashes, seed
-    ).localCheckpoint()
+    sh_new = raw_new.filter(F.col("shingle").isNotNull()).select(
+        "doc_id", "shingle", "x"
+    )
+    new_sigs = raw_new.filter(F.col("shingle").isNull()).select(
+        "doc_id", "signature"
+    )
     new_buckets = _band_buckets(new_sigs, bands, num_hashes // bands)
     intra = minhash_lsh_pairs(
         new_df, k=k, num_hashes=num_hashes, bands=bands,
