@@ -573,3 +573,25 @@ def test_semdedup_mega_cluster_blocks_bound_task_size(spark):
         for r in embedding_near_dup_pairs(emb, threshold=0.99).collect()
     }
     assert sem == brute  # one cluster -> no pruning -> exact equality
+
+
+def test_minhash_kernels_tolerate_all_short_doc_batches(spark):
+    """A NON-empty batch whose docs are all too short for one
+    k-shingle must yield zero rows, not an Arrow conversion error:
+    pandas' default float64 dtype for an empty column is not
+    convertible to list<int64> (NumPyConverter) — hit by streaming
+    catalog maintenance on tiny micro-batches (round 8)."""
+    import textalyzer_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "x")], "doc_id bigint, text string"
+    )
+    assert dd.minhash_signatures(docs, k=3, num_hashes=8).count() == 0
+    assert (
+        dd._distinct_shingles(
+            docs, 3, "doc_id", "text", with_base_hash=True,
+            sig_params=(8, 42),
+        ).count()
+        == 0
+    )
+    assert dd.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4).count() == 0

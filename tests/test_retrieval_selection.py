@@ -239,3 +239,47 @@ def test_streaming_dsir_score(spark, tmp_path):
         ).collect()
     }
     assert {r["doc_id"]: tuple(r) for r in got} == want
+
+
+def test_dsir_kernel_histogram_matches_explode_hash_groupby(spark):
+    """The in-kernel (doc_id, is_target, bucket, cnt) histogram
+    (round 8) must be row-identical to the definitional shape it
+    replaced: _doc_features -> md5-LE8 % n_buckets -> groupBy(doc_id,
+    bucket) count — the python/JVM hash identity pinned for
+    dsir_score_stateless, applied one stage earlier. Includes a
+    unicode-whitespace doc (NBSP must NOT split: WS_SPLIT parity)."""
+    from textalyzer_spark.operators.dedup import _md5_le8_col
+    from textalyzer_spark.operators.selection import (
+        _doc_bucket_counts,
+        _doc_features,
+    )
+
+    rows = [
+        (1, "alpha beta alpha beta alpha", "en"),
+        (2, "alpha\tbeta\ngamma  delta\r\n", "de"),
+        (3, "nbsp stays one-token", "en"),
+        (4, "", "en"),
+        (5, "solo", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    flagged = df.withColumn("is_target", F.col("lang") == "en")
+    nb = 64
+    kern = {
+        (r["doc_id"], r["bucket"]): (r["cnt"], r["is_target"])
+        for r in _doc_bucket_counts(flagged, nb, "doc_id", "text").collect()
+    }
+    ref_rows = (
+        _doc_features(flagged, "doc_id", "text")
+        .select(
+            "doc_id",
+            "is_target",
+            F.pmod(_md5_le8_col(F.col("feat")), F.lit(nb))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"), F.bool_or("is_target").alias("t"))
+        .collect()
+    )
+    ref = {(r["doc_id"], r["bucket"]): (r["cnt"], r["t"]) for r in ref_rows}
+    assert kern == ref

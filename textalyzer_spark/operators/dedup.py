@@ -128,12 +128,22 @@ def _distinct_shingles(
             if with_base_hash:
                 out["x"] = pd.Series(xs, dtype="int64")
             if sig_params is not None:
+                # object dtypes throughout: an all-short-doc batch
+                # yields empty lists, and pandas' default float64
+                # empty column is not Arrow-convertible to
+                # list<int64> (same guard as minhash_signatures)
                 n_sh, n_sig = len(ids), len(sig_ids)
-                out["doc_id"] = ids + sig_ids
-                out["shingle"] = shingles + [None] * n_sig
+                out["doc_id"] = pd.Series(ids + sig_ids, dtype="object")
+                out["shingle"] = pd.Series(
+                    shingles + [None] * n_sig, dtype="object"
+                )
                 if with_base_hash:
-                    out["x"] = xs + [None] * n_sig
-                out["signature"] = [None] * n_sh + sig_vals
+                    out["x"] = pd.Series(
+                        xs + [None] * n_sig, dtype="object"
+                    )
+                out["signature"] = pd.Series(
+                    [None] * n_sh + sig_vals, dtype="object"
+                )
             yield pd.DataFrame(out)
 
     id_type = dict(df.dtypes).get(id_col, "string")
@@ -286,7 +296,17 @@ def minhash_signatures(
                 perms = (base[:, None] * a_arr[None, :] + b_arr[None, :]) % p_mod
                 doc_ids.append(doc_id)
                 sigs.append(perms.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": doc_ids, "signature": sigs})
+            # explicit object dtype: a non-empty batch whose docs are
+            # ALL too short yields empty lists, and pandas' default
+            # float64 empty column is not Arrow-convertible to
+            # list<int64> (NumPyConverter) — hit by streaming
+            # maintenance on tiny batches
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="object"),
+                    "signature": pd.Series(sigs, dtype="object"),
+                }
+            )
 
     id_type = dict(df.dtypes).get(id_col, "string")
     return df.mapInPandas(run, f"doc_id {id_type}, signature array<bigint>")

@@ -62,6 +62,81 @@ def _doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return uni.unionByName(bi)
 
 
+def _doc_bucket_counts(
+    flagged: DataFrame, n_buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    """``(doc_id, is_target, bucket, cnt)`` — each document's hashed
+    uni+bigram feature-bucket histogram, computed IN THE KERNEL:
+    bucket duplicates can only occur within one document, so the rows
+    are globally distinct by construction and the per-occurrence
+    feature explode + md5-hex-conv chain + (doc, bucket) hash-agg
+    shuffle all disappear (round 8 — the shingle-kernel discipline).
+    Feature hashing replays md5-LE8 in Python
+    (``int.from_bytes(md5(f)[:8], 'little') % n_buckets``, the exact
+    value the JVM ``_md5_le8_col`` + pmod chain produces) and
+    tokenization is Python ``re`` over the pinned
+    ``alphabet.WS_SPLIT`` — the identities already pinned for
+    :func:`dsir_score_stateless`. Row-set identical to
+    ``_doc_features`` → hash → groupBy(doc_id, bucket)."""
+    import hashlib
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    ws_re = re.compile(WS_SPLIT)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tgts, bks, cnts = [], [], [], []
+            for doc_id, text, tgt in zip(
+                pdf["doc_id"], pdf[text_col], pdf["is_target"]
+            ):
+                toks = [w for w in ws_re.split(text or "") if w != ""]
+                if not toks:
+                    continue
+                feats = toks + [
+                    toks[i] + " " + toks[i + 1]
+                    for i in range(len(toks) - 1)
+                ]
+                c = Counter(
+                    int.from_bytes(
+                        hashlib.md5(f.encode("utf-8")).digest()[:8],
+                        "little",
+                    )
+                    % n_buckets
+                    for f in feats
+                )
+                # NULL target flags stay NULL (the JVM bool_or / where
+                # semantics): pandas renders them as None/NaN
+                tg = (
+                    None
+                    if tgt is None or (isinstance(tgt, float) and tgt != tgt)
+                    else bool(tgt)
+                )
+                ids.extend([doc_id] * len(c))
+                tgts.extend([tg] * len(c))
+                bks.extend(c.keys())
+                cnts.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "is_target": tgts,
+                    "bucket": pd.Series(bks, dtype="int64"),
+                    "cnt": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    id_type = dict(flagged.dtypes).get(id_col, "string")
+    return flagged.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col), F.col("is_target")
+    ).mapInPandas(
+        run,
+        f"doc_id {id_type}, is_target boolean, bucket long, cnt long",
+    )
+
+
 def _lam_udf(tt: int, tr: int, n_buckets: int):
     """bucket-level importance log-ratio in micro-nats (glibc ln)."""
     denom_t = float(tt + n_buckets)
@@ -95,25 +170,14 @@ def dsir_weights(
     leans target-ward). Every input row keeps its output row;
     feature-less documents carry weight 0.
     """
-    from textalyzer_spark.operators.dedup import _md5_le8_col
-
     flagged = df.withColumn("is_target", target_filter)
-    feats = _doc_features(flagged, id_col, text_col)
-    fb = feats.select(
-        "doc_id",
-        "is_target",
-        F.pmod(_md5_le8_col(F.col("feat")), F.lit(n_buckets))
-        .cast("long")
-        .alias("bucket"),
-    )
-    dbc = (
-        fb.groupBy("doc_id", "bucket")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.bool_or("is_target").alias("is_target"),  # constant per doc
-        )
-        .localCheckpoint()  # reused: two roll-ups + scalars + final join
-    )
+    # per-doc bucket histograms straight from the kernel (round 8):
+    # the previous shape exploded every uni+bigram occurrence, ran
+    # the md5-hex-conv chain per occurrence in the JVM, and shuffled
+    # the occurrence stream into a (doc, bucket) hash agg
+    dbc = _doc_bucket_counts(
+        flagged, n_buckets, id_col, text_col
+    ).localCheckpoint()  # reused: two roll-ups + scalars + final join
     rawc = dbc.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
     tgtc = (
         dbc.where(F.col("is_target"))
@@ -174,20 +238,15 @@ def dsir_model(
     case that cannot arise when scoring the training corpus itself
     but appears immediately on a live stream."""
     flagged = df.withColumn("is_target", target_filter)
-    feats = _doc_features(flagged, id_col, text_col)
-    from textalyzer_spark.operators.dedup import _md5_le8_col
-
-    fb = feats.select(
-        "is_target",
-        F.pmod(_md5_le8_col(F.col("feat")), F.lit(n_buckets))
-        .cast("long")
-        .alias("bucket"),
-    )
+    # kernel-side per-doc histograms (round 8, see dsir_weights):
+    # the bucket roll-up aggregates pre-counted (doc, bucket) rows,
+    # not the raw occurrence stream
+    fb = _doc_bucket_counts(flagged, n_buckets, id_col, text_col)
     buckets = (
         fb.groupBy("bucket")
         .agg(
-            F.count("*").cast("long").alias("rc"),
-            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            F.sum("cnt").cast("long").alias("rc"),
+            F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("tc"),
         )
