@@ -121,34 +121,32 @@ def collocations_pmi(
     ``broadcast_unigrams=False`` when a web-scale vocabulary outgrows
     the driver (shuffle joins instead).
     """
-    t = df.select(_ws_tokens(text_col).alias("toks"))
-    t = t.localCheckpoint()  # unigram + bigram histograms (multi-ACTION rule)
+    from textalyzer_spark.operators.lm import _batch_ngram_counts
+
+    # ONE kernel pass carries both histograms as batch-level counts
+    # (round 8): replaces the token-array corpus checkpoint + two
+    # explode+hash-agg chains (one with an interpreted zip_with)
+    # whose shuffles carried token occurrences; the shuffled rows are
+    # now bounded by per-batch vocabulary, and the two scalar totals
+    # collapse into one action over the checkpoint
+    c = _batch_ngram_counts(df, text_col).localCheckpoint()
+    is_uni = F.col("nxt").isNull()
+    trow = c.agg(
+        F.coalesce(F.sum(F.when(is_uni, F.col("cnt"))), F.lit(0)),
+        F.coalesce(F.sum(F.when(~is_uni, F.col("cnt"))), F.lit(0)),
+    ).first()
+    n_uni, n_bi = int(trow[0]), int(trow[1])
 
     uni = (
-        t.select(F.explode("toks").alias("tok"))
+        c.filter(is_uni)
         .groupBy("tok")
-        .agg(F.count("*").cast("long").alias("cnt1"))
+        .agg(F.sum("cnt").cast("long").alias("cnt1"))
     )
-    uni = uni.localCheckpoint()  # scalar total + two joins below
-    n_uni = int(uni.agg(F.coalesce(F.sum("cnt1"), F.lit(0))).first()[0])
-
     bi = (
-        t.where(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
-                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
-                    lambda a, b: F.struct(a.alias("ctx"), b.alias("nxt")),
-                )
-            ).alias("bg")
-        )
-        .select(F.col("bg.ctx").alias("ctx"), F.col("bg.nxt").alias("nxt"))
-        .groupBy("ctx", "nxt")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        c.filter(~is_uni)
+        .groupBy(F.col("tok").alias("ctx"), "nxt")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    bi = bi.localCheckpoint()  # scalar total + ranked scan (multi-ACTION rule)
-    n_bi = int(bi.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0])
     if n_bi == 0 or n_uni == 0:
         return df.sparkSession.createDataFrame(
             [], "ctx string, nxt string, cnt bigint, pmi_micro bigint"

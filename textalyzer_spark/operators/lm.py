@@ -56,6 +56,52 @@ def _ws_tokens(text_col: str) -> Column:
     return F.filter(F.split(F.col(text_col), WS_SPLIT), lambda t: t != "")
 
 
+def _batch_ngram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """``(tok, nxt, cnt)`` — per-Arrow-batch unigram (``nxt`` NULL)
+    and adjacent-bigram counts over whitespace tokens, counted IN THE
+    KERNEL (round 8): the partial aggregation moves into the Python
+    pass, so the histogram shuffles are bounded by per-batch
+    vocabulary instead of token occurrences, and the interpreted
+    zip_with/slice bigram explode disappears. Global histograms are
+    exact sums of the batch counts; tokenization is Python ``re``
+    over the pinned ``alphabet.WS_SPLIT`` (identical to the JVM
+    ``_ws_tokens`` split — the cross-engine class both engines parse
+    the same way). Used by keywords.collocations_pmi; A/B showed the
+    same shape NOT paying off inside lm_perplexity_bigram (the small
+    train slice makes the JVM explode cheaper than a python pass —
+    kept JVM there)."""
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    ws_re = re.compile(WS_SPLIT)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uni: Counter = Counter()
+            bi: Counter = Counter()
+            for text in pdf[text_col]:
+                toks = [w for w in ws_re.split(text or "") if w != ""]
+                uni.update(toks)
+                bi.update(zip(toks, toks[1:]))
+            toks_o = list(uni.keys()) + [c for c, _ in bi.keys()]
+            nxts_o = [None] * len(uni) + [n for _, n in bi.keys()]
+            cnts_o = list(uni.values()) + list(bi.values())
+            yield pd.DataFrame(
+                {
+                    "tok": pd.Series(toks_o, dtype="object"),
+                    "nxt": pd.Series(nxts_o, dtype="object"),
+                    "cnt": pd.Series(cnts_o, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(text_col)).mapInPandas(
+        run, "tok string, nxt string, cnt long"
+    )
+
+
 def _ll_micro_udf(denom: float):
     """``cnt -> floor(ln((cnt+1)/denom) * 1e6)`` with glibc ``math.log``
     per value (NOT ``np.log`` — SIMD log loses the last ulp)."""
