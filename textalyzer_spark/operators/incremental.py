@@ -617,17 +617,23 @@ def incremental_embedding_components(
     old_edges = catalog.filter(
         F.col("vec_id") != F.col("component")
     ).select(F.col("vec_id").alias("src"), F.col("component").alias("dst"))
-    intra = embedding_near_dup_pairs_lsh(
-        new_vectors, threshold, dim, n_bits, n_tables, seed,
-        max_bucket_docs, id_col, vec_col,
-    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-
     cat_v = catalog.select("vec_id", "embedding")
     new_v = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    # ONE python hyperplane pass over the new batch feeds BOTH the
+    # intra-batch join (buckets= pass-through) and the cross join
+    # (round 8 — previously the identical bucket table was computed
+    # twice); the catalog side re-derives from its stored vectors by
+    # design (bucket keys are deliberately not persisted)
+    nb = _hyperplane_buckets(
+        new_v, "vec_id", dim, n_bits, n_tables, seed
+    ).localCheckpoint()
+    intra = embedding_near_dup_pairs_lsh(
+        new_vectors, threshold, dim, n_bits, n_tables, seed,
+        max_bucket_docs, id_col, vec_col, buckets=nb,
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     ob = _hyperplane_buckets(cat_v, "vec_id", dim, n_bits, n_tables, seed)
-    nb = _hyperplane_buckets(new_v, "vec_id", dim, n_bits, n_tables, seed)
     if max_bucket_docs is not None:
         ok = (
             ob.select("table", "bucket")

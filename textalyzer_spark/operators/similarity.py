@@ -342,6 +342,7 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 1024,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-duplicate pairs — the scale path
     :func:`embedding_near_dup_pairs`'s docstring promises:
@@ -369,14 +370,22 @@ def embedding_near_dup_pairs_lsh(
     """
     from pyspark.sql.window import Window as _W
 
-    vs = _hyperplane_buckets(
-        vectors.withColumnRenamed(id_col, "vec_id"),
-        "vec_id", dim, n_bits, n_tables, seed, vec_col,
-    )
-    # the bucket table feeds the mega-bucket guard and both join
-    # sides — materialize once instead of re-running the python
-    # hyperplane-signature stage per consumer
-    vs = vs.localCheckpoint()
+    if buckets is not None:
+        # ALREADY MATERIALIZED ``_hyperplane_buckets`` table of the
+        # same (vectors, dim, n_bits, n_tables, seed) — the
+        # component-maintenance path shares ONE python hyperplane
+        # pass between this intra join and its cross join (round 8,
+        # the minhash buckets= discipline)
+        vs = buckets
+    else:
+        vs = _hyperplane_buckets(
+            vectors.withColumnRenamed(id_col, "vec_id"),
+            "vec_id", dim, n_bits, n_tables, seed, vec_col,
+        )
+        # the bucket table feeds the mega-bucket guard and both join
+        # sides — materialize once instead of re-running the python
+        # hyperplane-signature stage per consumer
+        vs = vs.localCheckpoint()
     if max_bucket_docs is not None:
         ok = (
             vs.groupBy("table", "bucket")
