@@ -595,3 +595,50 @@ def test_minhash_kernels_tolerate_all_short_doc_batches(spark):
         == 0
     )
     assert dd.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4).count() == 0
+
+
+def test_doc_shingle_counts_matches_occurrence_groupby(spark):
+    """token_shingle_duplicates' kernel pre-count (round 8): the
+    per-(doc, shingle) occurrence rows must reproduce the definitional
+    doc_shingles -> groupBy(shingle) roll-up exactly — n_occurrences
+    as a SUM of per-doc counts, n_docs as a plain count of the
+    one-per-doc rows (replacing countDistinct)."""
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.shingles import (
+        _doc_shingle_counts,
+        doc_shingles,
+        token_shingle_duplicates,
+    )
+
+    rows = [
+        (1, "a b c a b c a b"),      # repeated shingles within one doc
+        (2, "a b c d e"),
+        (3, "x y"),                  # too short for k=3
+        (4, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["shingle"],): (r["n_occurrences"], r["n_docs"])
+        for r in token_shingle_duplicates(df, k=3).collect()
+    }
+    ref_rows = (
+        doc_shingles(df, 3)
+        .groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .collect()
+    )
+    ref = {(r["shingle"],): (r["n_occurrences"], r["n_docs"]) for r in ref_rows}
+    assert got == ref and len(got) > 0
+    # the kernel emits ONE row per (doc, shingle): "a b c" appears in
+    # docs 1, 2, 4 -> exactly 3 rows for it
+    assert (
+        _doc_shingle_counts(df, 3, "doc_id", "text")
+        .filter(F.col("shingle") == "a b c")
+        .count()
+        == 3
+    )

@@ -76,12 +76,56 @@ def token_shingle_duplicates(
     shuffle regardless, and AQE coalesces the output partitions.
     """
     return (
-        doc_shingles(df, k, id_col, text_col)
+        _doc_shingle_counts(df, k, id_col, text_col)
         .groupBy("shingle")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy(F.desc("n_occurrences"), F.asc("shingle"))
+    )
+
+
+def _doc_shingle_counts(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """``(shingle, occ)`` — ONE row per (document, distinct shingle)
+    with that doc's occurrence count, straight from the kernel
+    (round 8): per-doc counting needs no cross-partition merge, so
+    the shuffle into the corpus roll-up carries per-doc-distinct rows
+    instead of occurrences, and the distinct-count over doc_id
+    becomes a plain ``count(*)`` (rows are one-per-doc by
+    construction) — no expand/two-phase distinct aggregate. Sums
+    reproduce ``doc_shingles`` → groupBy exactly."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from textalyzer_spark.functions.tokenize import tokenize_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shingles, occs = [], []
+            for text in pdf[text_col]:
+                toks = tokenize_text(text or "")
+                n = len(toks) - k + 1
+                if n <= 0:
+                    continue
+                c = Counter(" ".join(toks[i : i + k]) for i in range(n))
+                shingles.extend(c.keys())
+                occs.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    "shingle": pd.Series(shingles, dtype="object"),
+                    "occ": pd.Series(occs, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(text_col)).mapInPandas(
+        run, "shingle string, occ long"
     )
