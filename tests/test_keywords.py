@@ -81,3 +81,37 @@ def test_pmi_min_count_prunes(spark):
 def test_pmi_empty_and_single_token_corpus(spark):
     assert collocations_pmi(_docs(spark, [(1, "only")]), min_count=1).count() == 0
     assert collocations_pmi(_docs(spark, [(1, "  ")]), min_count=1).count() == 0
+
+
+def test_doc_term_counts_matches_explode_groupby(spark):
+    """tfidf's kernel tf table (round 8) must be row-identical to the
+    definitional explode(_ws_tokens) -> groupBy(doc_id, tok).count()
+    shape it replaced (WS_SPLIT parity incl. an NBSP-bearing token)."""
+    from pyspark.sql import functions as F
+
+    from textalyzer_spark.operators.keywords import (
+        _doc_term_counts,
+        _ws_tokens,
+    )
+
+    rows = [
+        (1, "alpha beta alpha  beta\talpha"),
+        (2, "nbsp stays-one token"),
+        (3, ""),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["tok"]): r["tf"]
+        for r in _doc_term_counts(df, "doc_id", "text").collect()
+    }
+    ref_rows = (
+        df.select(
+            "doc_id", F.explode(_ws_tokens("text")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .collect()
+    )
+    ref = {(r["doc_id"], r["tok"]): r["tf"] for r in ref_rows}
+    assert got == ref and len(got) > 0

@@ -62,10 +62,15 @@ def tfidf_topk_terms(
     Output: ``(doc_id, tok, tf bigint, score_micro bigint, rank int)``
     ordered by ``(doc_id, rank)``.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_ws_tokens(text_col)).alias("tok")
-    )
-    toks = toks.localCheckpoint()  # tf + df + N reuse (multi-ACTION rule)
+    # per-doc term frequencies straight from the kernel (round 8 —
+    # the shingle_dup/dsir discipline): term duplicates only occur
+    # within one document, so the kernel's (doc_id, tok, tf) rows are
+    # the tf table with NO explode and NO aggregation shuffle, the
+    # materialization shrinks from occurrence rows to per-doc-distinct
+    # rows, and df_t becomes a plain count(*) of one-per-doc rows —
+    # the two-phase count_distinct disappears from the plan
+    tf = _doc_term_counts(df, id_col, text_col)
+    tf = tf.localCheckpoint()  # vocab roll-up + scoring reuse
     n_docs = df.select(F.col(id_col)).distinct().count()
 
     denom = float(n_docs + 1)
@@ -78,11 +83,10 @@ def tfidf_topk_terms(
         )
 
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count_distinct("doc_id").cast("long").alias("dft"))
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("dft"))
         .select("tok", idf_micro(F.col("dft")).alias("idf_micro"))
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
     scored = tf.join(vocab, "tok").select(
         "doc_id",
         "tok",
@@ -97,6 +101,47 @@ def tfidf_topk_terms(
         .filter(F.col("rank") <= k)
         .orderBy("doc_id", "rank")
     )
+
+
+def _doc_term_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(doc_id, tok, tf)`` — each document's whitespace-token
+    frequency table from the kernel (round 8): one row per (document,
+    distinct token), exactly ``explode(_ws_tokens) -> groupBy(doc_id,
+    tok).count()`` with no explode and no shuffle (per-doc counting
+    needs no cross-partition merge). Tokenization is Python ``re``
+    over the pinned ``alphabet.WS_SPLIT``."""
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    from textalyzer_spark.functions.alphabet import WS_SPLIT
+
+    ws_re = re.compile(WS_SPLIT)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, toks_o, tfs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                c = Counter(
+                    w for w in ws_re.split(text or "") if w != ""
+                )
+                ids.extend([doc_id] * len(c))
+                toks_o.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "tok": pd.Series(toks_o, dtype="object"),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                }
+            )
+
+    id_type = dict(df.dtypes).get(id_col, "string")
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col)
+    ).mapInPandas(run, f"doc_id {id_type}, tok string, tf long")
 
 
 def collocations_pmi(
