@@ -367,27 +367,32 @@ def bigram_novelty(
     table (partial aggregation applies), one equi-join back to the
     occurrence stream, one groupBy doc_id — all linear; no driver
     materialization anywhere."""
-    from textalyzer_spark.operators.shingles import doc_shingles
+    from textalyzer_spark.operators.shingles import _doc_shingle_counts
 
-    occ = doc_shingles(df, 2, id_col, text_col)
-    # the occurrence table feeds the doc-frequency agg AND the join
-    # side — materialize once (multi-consumer fan-out across one
-    # action would be ReusedExchange'd, but the two consumers here
-    # have different shuffles; measured either way it is the python
-    # shingle stage we must not run twice)
-    occ = occ.localCheckpoint()
+    # per-doc bigram counts straight from the kernel (round 8 — the
+    # shingle_dup/tfidf discipline): one row per (document, distinct
+    # bigram) with its occurrence count, so the materialization and
+    # the doc-frequency join carry per-doc-distinct rows instead of
+    # occurrences, the doc frequency is a plain count(*) of
+    # one-per-doc rows (no two-phase count_distinct), and the per-doc
+    # roll-up weights by occ — identical occurrence-fraction values
+    occ = _doc_shingle_counts(
+        df, 2, id_col, text_col, with_doc_id=True
+    ).localCheckpoint()
     dfreq = occ.groupBy("shingle").agg(
-        F.countDistinct("doc_id").alias("_df")
+        F.count(F.lit(1)).alias("_df")
     )
     per_doc = (
         occ.join(dfreq, "shingle")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum((F.col("_df") == 1).cast("bigint")).alias("_novel"),
-            F.sum((F.col("_df") >= common_df).cast("bigint")).alias(
-                "_common"
-            ),
+            F.sum("occ").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_df") == 1, F.col("occ")).otherwise(0)
+            ).alias("_novel"),
+            F.sum(
+                F.when(F.col("_df") >= common_df, F.col("occ")).otherwise(0)
+            ).alias("_common"),
         )
     )
     all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()

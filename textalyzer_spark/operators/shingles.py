@@ -92,6 +92,7 @@ def _doc_shingle_counts(
     k: int,
     id_col: str,
     text_col: str,
+    with_doc_id: bool = False,
 ) -> DataFrame:
     """``(shingle, occ)`` — ONE row per (document, distinct shingle)
     with that doc's occurrence count, straight from the kernel
@@ -100,7 +101,9 @@ def _doc_shingle_counts(
     instead of occurrences, and the distinct-count over doc_id
     becomes a plain ``count(*)`` (rows are one-per-doc by
     construction) — no expand/two-phase distinct aggregate. Sums
-    reproduce ``doc_shingles`` → groupBy exactly."""
+    reproduce ``doc_shingles`` → groupBy exactly.
+    ``with_doc_id=True`` prepends the ``doc_id`` column for callers
+    that roll back up per document (bigram_novelty)."""
     from collections import Counter
     from collections.abc import Iterator
 
@@ -110,22 +113,28 @@ def _doc_shingle_counts(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            shingles, occs = [], []
-            for text in pdf[text_col]:
+            ids, shingles, occs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 toks = tokenize_text(text or "")
                 n = len(toks) - k + 1
                 if n <= 0:
                     continue
                 c = Counter(" ".join(toks[i : i + k]) for i in range(n))
+                if with_doc_id:
+                    ids.extend([doc_id] * len(c))
                 shingles.extend(c.keys())
                 occs.extend(c.values())
-            yield pd.DataFrame(
-                {
-                    "shingle": pd.Series(shingles, dtype="object"),
-                    "occ": pd.Series(occs, dtype="int64"),
-                }
-            )
+            out = {}
+            if with_doc_id:
+                out["doc_id"] = pd.Series(ids, dtype="object")
+            out["shingle"] = pd.Series(shingles, dtype="object")
+            out["occ"] = pd.Series(occs, dtype="int64")
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(text_col)).mapInPandas(
-        run, "shingle string, occ long"
-    )
+    id_type = dict(df.dtypes).get(id_col, "string")
+    schema = "shingle string, occ long"
+    if with_doc_id:
+        schema = f"doc_id {id_type}, " + schema
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col)
+    ).mapInPandas(run, schema)
